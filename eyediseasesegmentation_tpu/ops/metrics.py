@@ -1,0 +1,203 @@
+"""Segmentation metrics, computed on device.
+
+Replaces the reference's host/sklearn metric path with exact jnp equivalents:
+
+* ``average_precision`` — exact ``sklearn.metrics.average_precision_score``
+  (used per image by ``get_auc``, reference aucpr.py:17-30).
+* ``roc_auc`` — exact ``sklearn.metrics.roc_auc_score`` via tie-averaged ranks
+  (reference aucpr.py:32-43).
+* ``threshold_sweep`` — the 19-threshold TP/AP/PP(/TN) accumulation of
+  ``plot_aucpr_curve`` (aucpr.py:53-86) vectorized as thresholds × pixels on device.
+* ``dice_coeff`` / ``iou_coeff`` @0.5 — the Catalyst train-time callbacks
+  (train.py:332-342).
+
+All functions are jit-friendly with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-7
+
+# The fixed sweep of plot_aucpr_curve (reference aucpr.py:53).
+THRESH_LIST = np.array(
+    [0, 0.00001, 0.0001, 0.001, 0.01, 0.1, 0.2, 0.3, 0.4, 0.5,
+     0.6, 0.7, 0.8, 0.9, 0.99, 0.999, 0.9999, 0.99999, 1],
+    dtype=np.float32,
+)
+
+
+# ---------------------------------------------------------------------------
+# Hard dice / iou @ threshold (train-time callbacks)
+# ---------------------------------------------------------------------------
+
+def _hard_counts(probs, targets, threshold=0.5):
+    pred = (probs > threshold).astype(jnp.float32)
+    t = (targets > 0.5).astype(jnp.float32)
+    inter = jnp.sum(pred * t)
+    return inter, jnp.sum(pred), jnp.sum(t)
+
+
+def dice_coeff(probs, targets, threshold: float = 0.5, eps: float = EPS):
+    inter, p, t = _hard_counts(probs, targets, threshold)
+    return (2.0 * inter + eps) / (p + t + eps)
+
+
+def iou_coeff(probs, targets, threshold: float = 0.5, eps: float = EPS):
+    inter, p, t = _hard_counts(probs, targets, threshold)
+    return (inter + eps) / (p + t - inter + eps)
+
+
+# ---------------------------------------------------------------------------
+# Exact average precision (sklearn-compatible) on device
+# ---------------------------------------------------------------------------
+
+def _block_end_index(boundary: jnp.ndarray) -> jnp.ndarray:
+    """For each position, index of the end of its tie-block.
+
+    ``boundary[i]`` is True at the last element of each block (sorted order).
+    Computed as a reverse min-scan over (i if boundary else +inf).
+    """
+    n = boundary.shape[0]
+    idx = jnp.arange(n)
+    cand = jnp.where(boundary, idx, n - 1 + jnp.zeros_like(idx))
+    # reverse cumulative minimum
+    rev = cand[::-1]
+    rev_min = jax.lax.associative_scan(jnp.minimum, rev)
+    return rev_min[::-1]
+
+
+def average_precision(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Exact AP = Σ_n (R_n − R_{n−1}) · P_n over distinct-threshold points.
+
+    Identity used: AP = (1/P) Σ_{positives j} precision-at-the-end-of-j's-tie-block,
+    which matches sklearn's implementation exactly (including tie handling).
+    """
+    s = scores.reshape(-1).astype(jnp.float32)
+    y = labels.reshape(-1).astype(jnp.float32)
+    order = jnp.argsort(-s)
+    s = s[order]
+    y = y[order]
+    n = s.shape[0]
+    tps = jnp.cumsum(y)
+    precision = tps / (jnp.arange(n, dtype=jnp.float32) + 1.0)
+    boundary = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
+    end_idx = _block_end_index(boundary)
+    pe = precision[end_idx]
+    total_pos = jnp.maximum(tps[-1], 1.0)
+    return jnp.sum(y * pe) / total_pos
+
+
+def roc_auc(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Exact ROC-AUC via the Mann-Whitney statistic with tie-averaged ranks."""
+    s = scores.reshape(-1).astype(jnp.float32)
+    y = labels.reshape(-1).astype(jnp.float32)
+    order = jnp.argsort(s)
+    s = s[order]
+    y = y[order]
+    n = s.shape[0]
+    idx = jnp.arange(n, dtype=jnp.float32)
+    # tie-averaged rank = (block_start + block_end)/2 + 1
+    boundary_end = jnp.concatenate([s[:-1] != s[1:], jnp.ones((1,), bool)])
+    end_idx = _block_end_index(boundary_end).astype(jnp.float32)
+    boundary_start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    cand = jnp.where(boundary_start, jnp.arange(n), 0)
+    start_idx = jax.lax.associative_scan(jnp.maximum, cand).astype(jnp.float32)
+    ranks = (start_idx + end_idx) / 2.0 + 1.0
+    pos = jnp.sum(y)
+    neg = n - pos
+    rank_sum = jnp.sum(ranks * y)
+    return (rank_sum - pos * (pos + 1.0) / 2.0) / jnp.maximum(pos * neg, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep (the plot_aucpr_curve accumulation, vectorized)
+# ---------------------------------------------------------------------------
+
+def threshold_sweep(probs: jnp.ndarray, targets: jnp.ndarray,
+                    thresholds: jnp.ndarray = None,
+                    valid_mask: jnp.ndarray = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-threshold (TP, AP, PP, TN) counts for one image/batch.
+
+    Matches the strict-inequality binarization ``pred > threshold`` of
+    aucpr.py:64. Accumulate across images by summing the returned arrays.
+    ``valid_mask`` excludes padded pixels (TPU static-shape padding).
+    """
+    if thresholds is None:
+        thresholds = jnp.asarray(THRESH_LIST)
+    p = probs.reshape(-1)
+    t = (targets.reshape(-1) > 0.5).astype(jnp.float32)
+    v = jnp.ones_like(p) if valid_mask is None else valid_mask.reshape(-1).astype(jnp.float32)
+    pred = (p[None, :] > thresholds[:, None]).astype(jnp.float32) * v[None, :]
+    tv = t[None, :] * v[None, :]
+    tp = jnp.sum(pred * tv, axis=1)
+    ap = jnp.sum(tv, axis=1) * jnp.ones_like(tp)
+    pp = jnp.sum(pred, axis=1)
+    tn = jnp.sum((1.0 - pred) * (1.0 - t[None, :]) * v[None, :], axis=1)
+    return tp, ap, pp, tn
+
+
+def pr_from_counts(tp, ap, pp):
+    """Sensitivity/PPV with the 1e-7 smoothing of aucpr.py:83-86."""
+    sn = (tp + 1e-7) / (ap + 1e-7)
+    ppv = (tp + 1e-7) / (pp + 1e-7)
+    return sn, ppv
+
+
+def roc_from_counts(tp, ap, tn, total, eps=1e-7):
+    """Sensitivity / false-positive-rate (for plot_aucroc_curve)."""
+    an = total - ap
+    sn = (tp + eps) / (ap + eps)
+    fpr = ((an - tn) + eps) / (an + eps)
+    return sn, fpr
+
+
+def auc_trapezoid(x, y):
+    """sklearn.metrics.auc semantics: trapezoidal area along the curve in its
+    given order, with the sign flipped when x is (monotonically) decreasing."""
+    area = jnp.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]) / 2.0)
+    decreasing = x[-1] < x[0]
+    return jnp.where(decreasing, -area, area)
+
+
+def optimal_thresholds(sn, ppv, thresholds=None):
+    """The three optimal-threshold rules of aucpr.py:90-98:
+    min |P−R|, min distance to (1,1), max F-score. Returns (t0, t1, t2)."""
+    if thresholds is None:
+        thresholds = jnp.asarray(THRESH_LIST)
+    f_score = (2.0 * sn * ppv) / (sn + ppv)
+    t0 = thresholds[jnp.argmin(jnp.abs(ppv - sn))]
+    t1 = thresholds[jnp.argmin(jnp.sqrt((1.0 - ppv) ** 2 + (1.0 - sn) ** 2))]
+    t2 = thresholds[jnp.argmax(f_score)]
+    return t0, t1, t2
+
+
+# ---------------------------------------------------------------------------
+# Per-image statistics (reference stat_result.py:54-88 conventions)
+# ---------------------------------------------------------------------------
+
+def per_image_stats(pred_bin: jnp.ndarray, gt_bin: jnp.ndarray, eps: float = 1e-12):
+    """SN/PPV/SP/IoU/Dice for one binary mask pair, with the reference's
+    empty-set conventions: a ratio with zero denominator is defined as 1."""
+    pred = (pred_bin > 0.5).astype(jnp.float32)
+    gt = (gt_bin > 0.5).astype(jnp.float32)
+    tp = jnp.sum(pred * gt)
+    fp = jnp.sum(pred * (1 - gt))
+    fn = jnp.sum((1 - pred) * gt)
+    tn = jnp.sum((1 - pred) * (1 - gt))
+
+    def ratio(num, den):
+        return jnp.where(den > 0, num / jnp.maximum(den, eps), 1.0)
+
+    sn = ratio(tp, tp + fn)
+    ppv = ratio(tp, tp + fp)
+    sp = ratio(tn, tn + fp)
+    iou = ratio(tp, tp + fp + fn)
+    dice = ratio(2 * tp, 2 * tp + fp + fn)
+    return {"sn": sn, "ppv": ppv, "sp": sp, "iou": iou, "dice": dice}

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device CPU platform BEFORE jax initializes.
+
+This is the TPU build's analogue of the reference's single-node fake-multiworker
+harness (src/distributed_training.py): sharding/collective tests run on a virtual
+8-device CPU mesh, no TPU required.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1999)
