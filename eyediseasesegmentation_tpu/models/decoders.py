@@ -1,0 +1,189 @@
+"""U-Net family decoders (flax, NHWC).
+
+``DecoderBlock`` reproduces the reference's block (unetplusplusstar.py:71-161):
+bilinear ×2 upsample; skip gated either by smp attention ('scse') or — in the
+star variant — by height+width *cross-axial attention* computed at C/16 width,
+sigmoid-upsampled and multiplied onto the 1×1-downsampled skip before
+re-expansion (l.105-148). ``UnetPlusPlusDecoder`` implements the nested dense
+grid with the channel algebra skip_ch·(layer+1−depth) (l.214-235) and deep
+supervision taps (x_3_3, x_2_3, x_1_3; l.239-263). ``UnetDecoder`` is the plain
+smp.Unet decoder used by the baseline configs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules.layers import Attention, BatchNorm, ConvBNReLU, upsample2x
+from .modules.axial import CrossAxialAttention
+
+Dtype = Any
+
+
+class DecoderBlock(nn.Module):
+    in_channels: int
+    skip_channels: int
+    out_channels: int
+    base_dim: int = 32
+    level: int = 0
+    use_catt: bool = False
+    attention_type: Optional[str] = None
+    drop_block_prob: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None, train: bool = False):
+        dim = self.base_dim * (2 ** self.level)
+        x_up = upsample2x(x)
+        if skip is not None:
+            if self.use_catt:
+                b, h, w, _ = x.shape
+                c16 = self.skip_channels // 16
+                # ori_skip: 1x1 channel reduction at skip (2x) resolution (l.137)
+                ori_skip = nn.Conv(c16, (1, 1), use_bias=False, dtype=self.dtype,
+                                   param_dtype=jnp.float32, name="down_sample")(skip)
+                # init_conv: maxpool to x's resolution + 1x1 + BN + ReLU (l.105-110)
+                s = nn.max_pool(skip, (2, 2), strides=(2, 2))
+                s = nn.Conv(c16, (1, 1), use_bias=True, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="init_conv")(s)
+                s = BatchNorm(dtype=self.dtype, name="init_bn")(s, train)
+                s = nn.relu(s)
+
+                # height cross-attention: sequences are columns of length h
+                x_cols = x.transpose(0, 2, 1, 3).reshape(b * w, h, x.shape[-1])
+                s_cols = s.transpose(0, 2, 1, 3).reshape(b * w, h, c16)
+                s_cols = CrossAxialAttention(
+                    dim, in_channels=self.in_channels, in_skip_channels=c16,
+                    heads=4, dim_head_kq=8, dtype=self.dtype, name="h_catt",
+                )(x_cols, s_cols, train)
+
+                # width cross-attention: sequences are rows of length w
+                x_rows = x.reshape(b * h, w, x.shape[-1])
+                s_rows = (s_cols.reshape(b, w, h, c16)
+                               .transpose(0, 2, 1, 3)
+                               .reshape(b * h, w, c16))
+                s_rows = CrossAxialAttention(
+                    dim, in_channels=self.in_channels, in_skip_channels=c16,
+                    heads=4, dim_head_kq=8, dtype=self.dtype, name="w_catt",
+                )(x_rows, s_rows, train)
+                s = s_rows.reshape(b, h, w, c16)
+
+                # sigmoid gate, upsampled to skip resolution (l.113-117,146-148)
+                gate = upsample2x(jax.nn.sigmoid(s).astype(self.dtype))
+                gated = ori_skip * gate
+                gated = nn.Conv(self.skip_channels, (1, 1), use_bias=False,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name="up_sample")(gated)
+                x_up = jnp.concatenate([x_up, gated], axis=-1)
+            else:
+                x_cat = jnp.concatenate([x_up, skip], axis=-1)
+                x_up = Attention(self.attention_type, dtype=self.dtype,
+                                 name="attention1")(x_cat)
+        y = ConvBNReLU(self.out_channels, 3, drop_block_prob=self.drop_block_prob,
+                       dtype=self.dtype, name="conv1")(x_up, train)
+        y = ConvBNReLU(self.out_channels, 3, drop_block_prob=self.drop_block_prob,
+                       dtype=self.dtype, name="conv2")(y, train)
+        if not self.use_catt:
+            y = Attention(self.attention_type, dtype=self.dtype, name="attention2")(y)
+        return y
+
+
+class UnetDecoder(nn.Module):
+    """Plain smp.Unet decoder: 5 decode blocks over the reversed feature pyramid."""
+
+    encoder_channels: Sequence[int]
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    attention_type: Optional[str] = None
+    drop_block_prob: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray], train: bool = False):
+        feats = features[1:][::-1]  # drop input, head first
+        enc_ch = [f.shape[-1] for f in feats]
+        in_ch = [enc_ch[0]] + list(self.decoder_channels[:-1])
+        skip_ch = enc_ch[1:] + [0]
+        x = feats[0]
+        skips = feats[1:]
+        for i, out in enumerate(self.decoder_channels):
+            skip = skips[i] if i < len(skips) else None
+            x = DecoderBlock(
+                in_ch[i], skip_ch[i], out, attention_type=self.attention_type,
+                drop_block_prob=self.drop_block_prob, dtype=self.dtype,
+                name=f"block{i}",
+            )(x, skip, train)
+        return x
+
+
+class UnetPlusPlusDecoder(nn.Module):
+    """Nested UNet++ dense-grid decoder (reference unetplusplusstar.py:185-263).
+
+    ``star=True`` enables cross-axial-attention skip gating on grid nodes with
+    layer_idx 0 or 1 (x_0_0, x_0_1, x_1_1 — reference l.226-229).
+    Returns (final, [x_3_3, x_2_3, x_1_3]) when ``deep_supervision``.
+    """
+
+    encoder_channels: Sequence[int]
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    base_dim: int = 32
+    attention_type: Optional[str] = None
+    deep_supervision: bool = False
+    star: bool = False
+    drop_block_prob: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray], train: bool = False):
+        enc = list(self.encoder_channels[1:])[::-1]  # head first
+        head = enc[0]
+        in_channels = [head] + list(self.decoder_channels[:-1])
+        skip_channels = enc[1:] + [0]
+        out_channels = list(self.decoder_channels)
+        depth = len(in_channels) - 1
+
+        def make_block(depth_idx, layer_idx):
+            if depth_idx == 0:
+                in_ch = in_channels[layer_idx]
+                skip_ch = skip_channels[layer_idx] * (layer_idx + 1)
+                out_ch = out_channels[layer_idx]
+            else:
+                out_ch = skip_channels[layer_idx]
+                skip_ch = skip_channels[layer_idx] * (layer_idx + 1 - depth_idx)
+                in_ch = skip_channels[layer_idx - 1]
+            use_catt = self.star and layer_idx in (0, 1)
+            return DecoderBlock(
+                in_ch, skip_ch, out_ch, base_dim=self.base_dim, level=layer_idx,
+                use_catt=use_catt, attention_type=self.attention_type,
+                drop_block_prob=self.drop_block_prob, dtype=self.dtype,
+                name=f"x_{depth_idx}_{layer_idx}",
+            )
+
+        feats = features[1:][::-1]
+        dense = {}
+        # layer 0: the backbone column x_d_d (reference forward l.243-247)
+        for d in range(depth):
+            dense[f"x_{d}_{d}"] = make_block(d, d)(feats[d], feats[d + 1], train)
+        # layers 1..depth-1: dense connections (l.249-257)
+        for layer_idx in range(1, depth):
+            for depth_idx in range(depth - layer_idx):
+                li = depth_idx + layer_idx
+                cat = [dense[f"x_{idx}_{li}"] for idx in range(depth_idx + 1, li + 1)]
+                cat = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
+                dense[f"x_{depth_idx}_{li}"] = make_block(depth_idx, li)(
+                    dense[f"x_{depth_idx}_{li - 1}"], cat, train)
+        # final no-skip block x_0_depth (l.237,259)
+        dense[f"x_0_{depth}"] = DecoderBlock(
+            in_channels[-1], 0, out_channels[-1], base_dim=self.base_dim,
+            attention_type=self.attention_type,
+            drop_block_prob=self.drop_block_prob, dtype=self.dtype,
+            name=f"x_0_{depth}",
+        )(dense[f"x_0_{depth - 1}"], None, train)
+
+        final = dense[f"x_0_{depth}"]
+        if self.deep_supervision:
+            return final, [dense["x_3_3"], dense["x_2_3"], dense["x_1_3"]]
+        return final

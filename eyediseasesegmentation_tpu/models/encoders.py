@@ -1,0 +1,219 @@
+"""Feature-pyramid encoders (flax, NHWC).
+
+The reference pulls encoders from pytorch_toolbelt / timm / smp. The TPU build
+implements the family natively: a generic ResNet encoder (basic/bottleneck, with
+optional squeeze-excite and grouped convs for the SE-ResNeXt variants), plus the
+proposed BoTSER50 — an SE-ResNet50 whose layer4 is replaced by axial-attention
+blocks (reference unetplusplusstar.py:279-394).
+
+Every encoder returns the 6-level feature list
+``[x, c0(/2), c1(/4), c2(/8), c3(/16), c4(/32)]`` matching the reference's
+``out_channels`` convention (e.g. BoTSER50: [3, 64, 256, 512, 1024, 2048],
+unetplusplusstar.py:330).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules.layers import BatchNorm, SEBlock
+from .modules.axial import AxialAttentionBlock
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    use_se: bool = False
+    frozen_bn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name=name)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y, train))
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
+        y = bn("bn2")(y, train)
+        if self.use_se:
+            y = SEBlock(dtype=self.dtype, name="se")(y)
+        if x.shape[-1] != self.features or self.strides != 1:
+            x = nn.Conv(self.features, (1, 1), strides=(self.strides, self.strides),
+                        use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="down_conv")(x)
+            x = bn("down_bn")(x, train)
+        return nn.relu(y + x)
+
+
+class Bottleneck(nn.Module):
+    features: int  # inner width; output = 4x
+    strides: int = 1
+    groups: int = 1
+    use_se: bool = False
+    frozen_bn: bool = False
+    dtype: Dtype = jnp.float32
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name=name)
+        out_ch = self.features * self.expansion
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y, train))
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                    padding="SAME", use_bias=False, feature_group_count=self.groups,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y, train))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv3")(y)
+        y = bn("bn3")(y, train)
+        if self.use_se:
+            y = SEBlock(dtype=self.dtype, name="se")(y)
+        if x.shape[-1] != out_ch or self.strides != 1:
+            x = nn.Conv(out_ch, (1, 1), strides=(self.strides, self.strides),
+                        use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="down_conv")(x)
+            x = bn("down_bn")(x, train)
+        return nn.relu(y + x)
+
+
+class ResNetEncoder(nn.Module):
+    """Generic ResNet-family encoder producing the 6-level feature pyramid."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: str = "bottleneck"  # 'basic' | 'bottleneck'
+    use_se: bool = False
+    groups: int = 1
+    stem_width: int = 64
+    num_stages: int = 4
+    frozen_bn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> List[int]:
+        exp = 4 if self.block == "bottleneck" else 1
+        chans = [3, self.stem_width]
+        for i in range(self.num_stages):
+            chans.append(self.stem_width * (2 ** i) * exp)
+        return chans
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = [x]
+        # stem: conv7x7 s2 + BN + ReLU (pool applied before stage 1, feature
+        # extracted pre-pool — reference unetplusplusstar.py:286-287)
+        y = nn.Conv(self.stem_width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem_conv")(x)
+        y = BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name="stem_bn")(y, train)
+        y = nn.relu(y)
+        feats.append(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        for stage, n_blocks in enumerate(self.stage_sizes[: self.num_stages]):
+            width = self.stem_width * (2 ** stage)
+            for i in range(n_blocks):
+                strides = 2 if (i == 0 and stage > 0) else 1
+                kwargs = dict(use_se=self.use_se, frozen_bn=self.frozen_bn,
+                              dtype=self.dtype)
+                if block_cls is Bottleneck:
+                    kwargs["groups"] = self.groups
+                y = block_cls(width, strides=strides,
+                              name=f"layer{stage + 1}_block{i}", **kwargs)(y, train)
+            feats.append(y)
+        return feats
+
+
+class BoTSER50Encoder(nn.Module):
+    """SE-ResNet50 stem+layers1-3 with layer4 replaced by axial-attention blocks
+    (reference BoTSER50, unetplusplusstar.py:279-352).
+
+    layer4 = first_block(1024→2048, downsample, dim=2·base_dim) followed by the
+    SAME axial block applied twice (the reference reuses one module instance —
+    weights shared; nn.Sequential(first_block, block, block), l.322-327).
+
+    ``pretrained`` freezes BN statistics in layers 0-3 (set_bn_eval semantics).
+    """
+
+    base_dim: int = 32
+    use_axial: bool = True
+    num_transblocks: int = 3  # kept for config parity (layer4 depth is fixed at 3)
+    pretrained: bool = False
+    dtype: Dtype = jnp.float32
+
+    out_channels: Tuple[int, ...] = (3, 64, 256, 512, 1024, 2048)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        backbone = ResNetEncoder(
+            stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True,
+            num_stages=3, frozen_bn=self.pretrained, dtype=self.dtype,
+            name="seresnet",
+        )
+        feats = backbone(x, train)  # [x, c0, c1(256,/4), c2(512,/8), c3(1024,/16)]
+        y = feats[-1]
+        if self.use_axial:
+            first_block = AxialAttentionBlock(
+                in_channels=1024, out_channels=2048, down_sample=True,
+                dim=self.base_dim * 2, heads=8, dtype=self.dtype, name="layer4_first")
+            shared_block = AxialAttentionBlock(
+                in_channels=2048, out_channels=2048, down_sample=False,
+                dim=self.base_dim, heads=8, dtype=self.dtype, name="layer4_shared")
+            y = first_block(y, train)
+            y = shared_block(y, train)
+            y = shared_block(y, train)  # second call: same instance => shared params
+        else:
+            # BoT (MHSA) fallback: one stride-2 bottleneck stage without SE
+            for i in range(3):
+                y = Bottleneck(512, strides=2 if i == 0 else 1, use_se=True,
+                               dtype=self.dtype, name=f"layer4_block{i}")(y, train)
+        feats.append(y)
+        return feats
+
+
+# --- encoder registry -------------------------------------------------------
+
+ENCODER_CONFIGS = {
+    # the 5 BoTSER50 configs of unetplusplusstar.py:370-394
+    "BoTSER50_Axial_Imagenet": dict(pretrained=True, use_axial=True, num_transblocks=1),
+    "BoTSER50_Axial_Imagenet_2": dict(pretrained=True, use_axial=True, num_transblocks=2),
+    "BoTSER50_Axial_Imagenet_3": dict(pretrained=True, use_axial=True, num_transblocks=3),
+    "BoTSER50_Axial_scratch": dict(pretrained=False, use_axial=True),
+    "BoTSER50_Imagenet": dict(pretrained=True, use_axial=False),
+}
+
+RESNET_CONFIGS = {
+    "resnet18": dict(stage_sizes=(2, 2, 2, 2), block="basic"),
+    "resnet34": dict(stage_sizes=(3, 4, 6, 3), block="basic"),
+    "resnet50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck"),
+    "resnet101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck"),
+    "resnet152": dict(stage_sizes=(3, 8, 36, 3), block="bottleneck"),
+    "seresnet50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True),
+    "seresnext50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True, groups=32),
+    "seresnext101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck", use_se=True, groups=32),
+}
+
+
+def get_encoder(name: str, base_dim: int = 32, frozen_bn: bool = False,
+                dtype: Dtype = jnp.float32, module_name: str = "encoder"):
+    """Build an encoder module + its out_channels list by registry name."""
+    if name in ENCODER_CONFIGS:
+        cfg = ENCODER_CONFIGS[name]
+        enc = BoTSER50Encoder(base_dim=base_dim, dtype=dtype, name=module_name, **cfg)
+        return enc, list(enc.out_channels)
+    if name in RESNET_CONFIGS:
+        enc = ResNetEncoder(frozen_bn=frozen_bn, dtype=dtype, name=module_name,
+                            **RESNET_CONFIGS[name])
+        return enc, enc.out_channels
+    raise KeyError(f"Unknown encoder '{name}'. Options: "
+                   f"{sorted(ENCODER_CONFIGS) + sorted(RESNET_CONFIGS)}")

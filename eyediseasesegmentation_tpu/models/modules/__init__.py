@@ -1,0 +1,28 @@
+from .layers import (
+    ConvBNReLU,
+    DropBlock2d,
+    SegmentationHead,
+    ClassificationHead,
+    SCSEAttention,
+    Attention,
+    SEBlock,
+    CBAMSpatial,
+    CBAMChannel,
+    CBAM,
+    AttentionGate,
+    ASPP,
+    DoubleConv,
+)
+from .axial import (
+    RelativePosEnc2D,
+    AxialAttention,
+    CrossAxialAttention,
+    AxialAttentionBlock,
+)
+
+__all__ = [
+    "ConvBNReLU", "DropBlock2d", "SegmentationHead", "ClassificationHead",
+    "SCSEAttention", "Attention", "SEBlock", "CBAMSpatial", "CBAMChannel", "CBAM",
+    "AttentionGate", "ASPP", "DoubleConv",
+    "RelativePosEnc2D", "AxialAttention", "CrossAxialAttention", "AxialAttentionBlock",
+]

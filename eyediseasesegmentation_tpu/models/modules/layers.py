@@ -1,0 +1,302 @@
+"""Shared model building blocks (flax, NHWC, bf16-compute / fp32-param policy).
+
+Capability parity with the reference's ``archs/modules/`` + smp base modules:
+Conv2dReLU with DropBlock (unetplusplusstar.py:22-63), SE block (se_block.py),
+scSE attention (smp md.Attention('scse')), CBAM (attention_block.py), attention
+gate (attention_block.py:8+), ASPP (aspp.py), DropBlock2d (dropblock.py),
+Segmentation/Classification heads (unetplusplusstar.py:163-183).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with fp32 statistics regardless of compute dtype.
+
+    ``frozen=True`` reproduces the reference's frozen-BN-on-pretrained-layers
+    behavior (set_bn_eval, unetplusplusstar.py:268-277): running stats are used
+    even in training and never updated.
+    """
+
+    dtype: Dtype = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    frozen: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_running = (not train) or self.frozen
+        y = nn.BatchNorm(
+            use_running_average=use_running,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class DropBlock2d(nn.Module):
+    """Structured dropout over contiguous blocks (timm DropBlock2d semantics,
+    used inside Conv2dReLU, unetplusplusstar.py:49). Stateless: a pure function
+    of the 'dropout' PRNG collection; identity when not training or prob == 0."""
+
+    drop_prob: float = 0.1
+    block_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.drop_prob <= 0.0:
+            return x
+        h, w = x.shape[1], x.shape[2]
+        bs = min(self.block_size, h, w)
+        total = h * w
+        valid = (h - bs + 1) * (w - bs + 1)
+        gamma = self.drop_prob * total / (bs ** 2) / max(valid, 1)
+        key = self.make_rng("dropout")
+        noise = jax.random.bernoulli(key, gamma, (x.shape[0], h, w, 1)).astype(x.dtype)
+        # expand block centers to block_size x block_size via max-pool
+        block_mask = nn.max_pool(noise, (bs, bs), strides=(1, 1), padding="SAME")
+        keep = 1.0 - block_mask
+        norm = keep.size / jnp.maximum(jnp.sum(keep), 1.0)
+        return x * keep * norm.astype(x.dtype)
+
+
+class ConvBNReLU(nn.Module):
+    """conv → DropBlock → BN → ReLU (the reference Conv2dReLU,
+    unetplusplusstar.py:22-63)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_batchnorm: bool = True
+    drop_block_prob: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME" if self.kernel_size > 1 else "VALID",
+            use_bias=not self.use_batchnorm,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = DropBlock2d(self.drop_block_prob, block_size=7)(x, train)
+        if self.use_batchnorm:
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excite (reference se_block.py:10-26; also SENet encoders)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.Dense(max(c // self.reduction, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = jax.nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class SCSEAttention(nn.Module):
+    """Concurrent spatial & channel SE (smp md.Attention('scse'), used as the
+    decoder attention for non-cross-attention blocks, unetplusplusstar.py:122-124)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        # channel SE
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        cse = x * jax.nn.sigmoid(s)
+        # spatial SE
+        t = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        sse = x * jax.nn.sigmoid(t)
+        return cse + sse
+
+
+class Attention(nn.Module):
+    """smp-style attention dispatcher: None → identity, 'scse' → SCSE."""
+
+    attention_type: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.attention_type is None:
+            return x
+        if self.attention_type == "scse":
+            return SCSEAttention(dtype=self.dtype)(x)
+        raise ValueError(f"Unknown attention type {self.attention_type}")
+
+
+class CBAMChannel(nn.Module):
+    """CBAM channel attention (reference attention_block.py Channel_Spatial_Attention)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mlp = nn.Sequential([
+            nn.Dense(max(c // self.reduction, 1), dtype=self.dtype, param_dtype=jnp.float32),
+            nn.relu,
+            nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32),
+        ])
+        avg = mlp(jnp.mean(x, axis=(1, 2)))
+        mx = mlp(jnp.max(x, axis=(1, 2)))
+        return x * jax.nn.sigmoid(avg + mx)[:, None, None, :]
+
+
+class CBAMSpatial(nn.Module):
+    """CBAM spatial attention."""
+
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        a = jnp.concatenate([avg, mx], axis=-1)
+        a = nn.Conv(1, (self.kernel_size, self.kernel_size), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32)(a)
+        return x * jax.nn.sigmoid(a)
+
+
+class CBAM(nn.Module):
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = CBAMChannel(self.reduction, dtype=self.dtype)(x)
+        return CBAMSpatial(dtype=self.dtype)(x)
+
+
+class AttentionGate(nn.Module):
+    """Additive attention gate (Attention U-Net; reference attention_block.py:8+).
+
+    g: gating signal (decoder), x: skip. Returns gated skip."""
+
+    inter_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, g, x, train: bool = False):
+        wg = nn.Conv(self.inter_features, (1, 1), use_bias=True,
+                     dtype=self.dtype, param_dtype=jnp.float32)(g)
+        wx = nn.Conv(self.inter_features, (1, 1), use_bias=True,
+                     dtype=self.dtype, param_dtype=jnp.float32)(x)
+        a = nn.relu(wg + wx)
+        a = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32)(a)
+        a = BatchNorm(dtype=self.dtype)(a, train)
+        return x * jax.nn.sigmoid(a)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling with image pooling (reference aspp.py:7-59)."""
+
+    features: int = 256
+    rates: Sequence[int] = (6, 12, 18)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = [ConvBNReLU(self.features, 1, drop_block_prob=0.0, dtype=self.dtype)(x, train)]
+        for rate in self.rates:
+            y = nn.Conv(self.features, (3, 3), padding="SAME",
+                        kernel_dilation=(rate, rate), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            y = BatchNorm(dtype=self.dtype)(y, train)
+            outs.append(nn.relu(y))
+        # image-level pooling
+        p = jnp.mean(x, axis=(1, 2), keepdims=True)
+        p = ConvBNReLU(self.features, 1, drop_block_prob=0.0, dtype=self.dtype)(p, train)
+        p = jnp.broadcast_to(p, (x.shape[0], x.shape[1], x.shape[2], self.features))
+        outs.append(p)
+        y = jnp.concatenate(outs, axis=-1)
+        return ConvBNReLU(self.features, 1, drop_block_prob=0.0, dtype=self.dtype)(y, train)
+
+
+class DoubleConv(nn.Module):
+    """(conv-BN-ReLU) ×2 — classic U-Net primitive (reference common.py:1-77)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNReLU(self.features, 3, drop_block_prob=0.0, dtype=self.dtype)(x, train)
+        return ConvBNReLU(self.features, 3, drop_block_prob=0.0, dtype=self.dtype)(x, train)
+
+
+class SegmentationHead(nn.Module):
+    """kxk conv (+ optional upsampling) to class logits (unetplusplusstar.py:163-168)."""
+
+    classes: int = 1
+    kernel_size: int = 3
+    upsampling: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.classes, (self.kernel_size, self.kernel_size),
+                    padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.upsampling > 1:
+            n, h, w, c = x.shape
+            x = jax.image.resize(x, (n, h * self.upsampling, w * self.upsampling, c), "bilinear")
+        return x.astype(jnp.float32)
+
+
+class ClassificationHead(nn.Module):
+    """Global-pool → dropout → linear (unetplusplusstar.py:170-183)."""
+
+    classes: int = 1
+    pooling: str = "avg"
+    dropout: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = jnp.mean(x, axis=(1, 2)) if self.pooling == "avg" else jnp.max(x, axis=(1, 2))
+        s = nn.Dropout(self.dropout, deterministic=not train)(s)
+        s = nn.Dense(self.classes, dtype=self.dtype, param_dtype=jnp.float32)(s)
+        return s.astype(jnp.float32)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear ×2 upsampling, NHWC (F.interpolate(scale_factor=2, 'bilinear'))."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+
+
+def maxpool2x(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def avgpool2x(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))

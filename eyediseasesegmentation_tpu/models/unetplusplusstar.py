@@ -1,0 +1,78 @@
+"""UnetPlusPlusStar — the proposed architecture (flagship).
+
+BoT/axial SE-ResNet50 encoder + UNet++ dense decoder with cross-axial-attention
+skip gates + segmentation / deep-supervision / classification heads.
+Behavioral parity with reference ``src/main/archs/unetplusplusstar.py:400-517``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .decoders import UnetPlusPlusDecoder
+from .encoders import get_encoder
+from .modules.layers import ClassificationHead, SegmentationHead
+
+Dtype = Any
+
+
+class UnetPlusPlusStar(nn.Module):
+    """Returns logits; with deep supervision (mask, [ds3, ds2, ds1]); with
+    clf_head additionally the classification logits (reference forward
+    l.465-488)."""
+
+    encoder_name: str = "BoTSER50_Axial_Imagenet_3"
+    encoder_depth: int = 5
+    decoder_use_batchnorm: bool = True
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    decoder_attention_type: Optional[str] = None
+    base_dim: int = 32
+    classes: int = 1
+    deep_supervision: bool = False
+    drop_block_prob: float = 0.1
+    clf_head: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        encoder, enc_channels = get_encoder(
+            self.encoder_name, base_dim=self.base_dim, dtype=self.dtype)
+        features = encoder(x, train)
+
+        clf = None
+        if self.clf_head:
+            clf = ClassificationHead(self.classes, dropout=0.1, dtype=self.dtype,
+                                     name="classification_head")(features[-1], train)
+
+        decoder_out = UnetPlusPlusDecoder(
+            encoder_channels=enc_channels,
+            decoder_channels=self.decoder_channels,
+            base_dim=self.base_dim,
+            attention_type=self.decoder_attention_type,
+            deep_supervision=self.deep_supervision,
+            star=True,
+            drop_block_prob=self.drop_block_prob,
+            dtype=self.dtype,
+            name="decoder",
+        )(features, train)
+
+        seg_head = SegmentationHead(self.classes, kernel_size=3, dtype=self.dtype,
+                                    name="segmentation_head")
+        if self.deep_supervision:
+            final, deeps = decoder_out
+            mask = seg_head(final)
+            ds_masks = [
+                SegmentationHead(self.classes, kernel_size=3, dtype=self.dtype,
+                                 name=f"deep_head{i}")(f)
+                for i, f in enumerate(deeps)
+            ]
+            if self.clf_head:
+                return mask, ds_masks, clf
+            return mask, ds_masks
+        mask = seg_head(decoder_out)
+        if self.clf_head:
+            return mask, clf
+        return mask
