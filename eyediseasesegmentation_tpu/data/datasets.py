@@ -1,0 +1,172 @@
+"""Datasets: host-side decode feeding the on-device preprocessing graph.
+
+TPU re-design of reference ``src/data/lesion_dataset.py`` / ``vessel_dataset.py``:
+the host only decodes files to uint8 numpy (plus the dynamic-shape Ben-crop when
+enabled); mask binarization (>50), resize/pad, normalization and augmentation all
+run on device inside the jitted train/eval step. Each dataset yields fixed-shape
+numpy batches so the compiled step never re-traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..ops import image as I
+
+CLASS_NAMES = ["MA", "EX", "HE", "SE"]
+CLASS_COLORS = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+
+
+def _load_rgb(path) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
+def _load_mask(path) -> np.ndarray:
+    """Grayscale mask, binarized at >50 → {0,1} (lesion_dataset.py:54-58)."""
+    m = np.asarray(Image.open(path).convert("L"), dtype=np.uint8)
+    return (m > 50).astype(np.float32)
+
+
+def ben_color_host(image: np.ndarray, sigma: float = 10.0,
+                   img_size: Optional[Tuple[int, int]] = None,
+                   tol: int = 7) -> np.ndarray:
+    """Full Ben-Graham preprocessing incl. the dynamic-shape gray-crop
+    (reference data_transform.py:181-203). Host-side because the crop's output
+    shape is data-dependent; the blur/addWeighted stage also exists on device
+    (`ops.image.ben_color_device`)."""
+    import cv2
+
+    img = image
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    nz = gray > tol
+    if nz.any():
+        rows = nz.any(1)
+        cols = nz.any(0)
+        cropped = img[np.ix_(rows, cols)]
+        if cropped.shape[0] > 0:
+            img = cropped
+    if img_size is not None:
+        img = cv2.resize(img, (img_size[0], img_size[1]))
+    blur = cv2.GaussianBlur(img, (0, 0), sigma)
+    return cv2.addWeighted(img, 4, blur, -4, 128)
+
+
+@dataclasses.dataclass
+class OneLesionSegmentation:
+    """Train/val dataset: paired image/mask files (lesion_dataset.py:38-91).
+
+    ``__getitem__`` returns raw host arrays; geometry/normalize/augment run on
+    device. ``gray`` and ``ben_transform`` match the reference options.
+    """
+
+    image_paths: Sequence[Path]
+    mask_paths: Sequence[Path]
+    gray: bool = False
+    ben_transform: bool = False
+    with_label: bool = False  # per-patch classification label (lesion_dataset_tmp.py)
+
+    def __post_init__(self):
+        assert len(self.image_paths) == len(self.mask_paths), (
+            len(self.image_paths), len(self.mask_paths))
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int):
+        img = _load_rgb(self.image_paths[idx]).astype(np.float32)
+        mask = _load_mask(self.mask_paths[idx])
+        if self.ben_transform:
+            img = ben_color_host(img.astype(np.uint8)).astype(np.float32)
+            if img.shape[:2] != mask.shape:
+                import cv2
+                mask = cv2.resize(mask, (img.shape[1], img.shape[0]),
+                                  interpolation=cv2.INTER_NEAREST)
+        if self.gray:
+            g = img @ np.array([0.2989, 0.5870, 0.1140], np.float32)
+            img = np.repeat(g[..., None], 3, axis=-1)
+        sample = {"image": img, "mask": mask,
+                  "image_id": Path(self.image_paths[idx]).stem}
+        if self.with_label:
+            sample["label"] = np.float32(mask.sum() > 0)
+        return sample
+
+
+@dataclasses.dataclass
+class TestSegmentation:
+    """Test dataset (lesion_dataset.py:95-145): images (+ optional GT masks),
+    original sizes recorded for the resize-back step."""
+
+    image_paths: Sequence[Path]
+    mask_paths: Optional[Sequence[Path]] = None
+    gray: bool = False
+    ben_transform: bool = False
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int):
+        img = _load_rgb(self.image_paths[idx]).astype(np.float32)
+        sample = {"image": img, "filename": Path(self.image_paths[idx]).name,
+                  "ori_h": img.shape[0], "ori_w": img.shape[1]}
+        if self.ben_transform:
+            sample["image"] = ben_color_host(img.astype(np.uint8)).astype(np.float32)
+        if self.gray:
+            g = sample["image"] @ np.array([0.2989, 0.5870, 0.1140], np.float32)
+            sample["image"] = np.repeat(g[..., None], 3, axis=-1)
+        if self.mask_paths is not None:
+            sample["mask"] = _load_mask(self.mask_paths[idx])
+        return sample
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
+                   drop_last: bool = False, seed: int = 0,
+                   pad_to_batch: bool = True) -> Iterator[dict]:
+    """Fixed-shape numpy batch iterator (replaces torch DataLoader).
+
+    All images in a dataset are assumed same-shape (IDRiD 2848×4288 etc.);
+    a short final batch is zero-padded to ``batch_size`` with ``n_valid`` set,
+    so the compiled step sees one shape only.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idxs = order[start:start + batch_size]
+        if len(idxs) < batch_size and drop_last:
+            return
+        samples = [dataset[i] for i in idxs]
+        batch = {}
+        for key in samples[0]:
+            vals = [s[key] for s in samples]
+            if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+                arr = np.stack([np.asarray(v) for v in vals])
+                if pad_to_batch and arr.shape[0] < batch_size:
+                    pad = batch_size - arr.shape[0]
+                    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                    arr = np.pad(arr, widths)
+                batch[key] = arr
+            else:
+                batch[key] = vals  # e.g. filenames
+        batch["n_valid"] = len(idxs)
+        yield batch
+
+
+def train_val_split(items_a: Sequence, items_b: Sequence, val_size: float = 0.2,
+                    seed: int = 1999):
+    """Deterministic split matching sklearn train_test_split(random_state=seed)
+    in spirit (reference train.py:66-75)."""
+    n = len(items_a)
+    order = np.arange(n)
+    np.random.RandomState(seed).shuffle(order)
+    n_val = max(1, int(round(n * val_size))) if n > 1 else 0
+    val_idx = set(order[:n_val].tolist())
+    tr_a = [items_a[i] for i in range(n) if i not in val_idx]
+    tr_b = [items_b[i] for i in range(n) if i not in val_idx]
+    va_a = [items_a[i] for i in range(n) if i in val_idx]
+    va_b = [items_b[i] for i in range(n) if i in val_idx]
+    return (tr_a, tr_b), (va_a, va_b)

@@ -157,36 +157,38 @@ def lookahead(base: optax.GradientTransformation, sync_period: int = 5,
 # Registry
 # ---------------------------------------------------------------------------
 
-def _base_optimizer(name: str, learning_rate, weight_decay, eps):
+def _base_optimizer(name: str, learning_rate, weight_decay, eps, wd_mask=None):
     name = name.lower()
     if name == "sgd":
         return optax.chain(
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.sgd(learning_rate, momentum=0.9, nesterov=True),
         )
     if name == "adam":
         return optax.chain(
-            optax.add_decayed_weights(weight_decay),  # torch Adam couples wd into grad
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),  # torch Adam couples wd into grad
             optax.adam(learning_rate, eps=eps),
         )
     if name == "rms":
         return optax.chain(
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.rmsprop(learning_rate),
         )
     if name == "adamw":
-        return optax.adamw(learning_rate, eps=eps, weight_decay=weight_decay)
+        return optax.adamw(learning_rate, eps=eps, weight_decay=weight_decay,
+                           mask=wd_mask)
     if name == "radam":
         return optax.chain(
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.radam(learning_rate, eps=eps),
         )
     if name == "ranger":
         return lookahead(optax.chain(
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.radam(learning_rate, eps=eps)))
     if name == "lamb":
-        return optax.lamb(learning_rate, eps=eps, weight_decay=weight_decay)
+        return optax.lamb(learning_rate, eps=eps, weight_decay=weight_decay,
+                          mask=wd_mask)
     if name == "diffgrad":
         return diffgrad(learning_rate, eps=eps, weight_decay=weight_decay)
     if name == "novograd":
@@ -198,7 +200,7 @@ def _base_optimizer(name: str, learning_rate, weight_decay, eps):
 
 def get_optimizer(optimizer_name: str, learning_rate: float,
                   weight_decay: float = 1e-5, eps: float = 1e-5,
-                  lr_scale_fn=None) -> optax.GradientTransformation:
+                  lr_scale_fn=None, wd_mask=None) -> optax.GradientTransformation:
     """Build an optimizer by name; '<name>_lookahead' wraps it in Lookahead
     (reference optim.py:188-191,227-228).
 
@@ -215,7 +217,8 @@ def get_optimizer(optimizer_name: str, learning_rate: float,
         use_lookahead = True
 
     def make(learning_rate):
-        base = _base_optimizer(optimizer_name, learning_rate, weight_decay, eps)
+        base = _base_optimizer(optimizer_name, learning_rate, weight_decay, eps,
+                               wd_mask=wd_mask)
         if lr_scale_fn is not None:
             base = _with_lr_scales(base, lr_scale_fn)
         if use_lookahead:

@@ -1,0 +1,358 @@
+"""Training engine.
+
+The TPU-native replacement for the reference's Catalyst stack (train.py:160-509):
+one jit-compiled train step over a device mesh does augmentation (vmapped PRNG
+policies), bf16 forward/backward, compound weighted loss, deep supervision with
+an on-device mask pyramid, and the optimizer update; the host loop does what
+hosts are good at — scheduling (ReduceLROnPlateau etc.), early stopping
+(patience 20 on val dice, train.py:329-330), checkpointing (best/last/best_full)
+and logging.
+
+Parallelism: batch sharded over the mesh's ``data`` axis, params replicated;
+XLA inserts the gradient all-reduce from the sharding annotations (SURVEY.md
+§2.11, §5.8). No DataParallel, no gloo — the same step scales from 1 chip to a
+pod without code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from .. import models as zoo
+from ..config import BaseConfig
+from ..data import (OneLesionSegmentation, batch_iterator, get_datapath,
+                    get_transform)
+from ..data.datasets import train_val_split
+from ..ops import losses as L
+from ..ops import metrics as M
+from ..optim import get_optimizer, get_scheduler
+from ..parallel import make_mesh, batch_sharding, replicated_sharding
+from ..utils import make_logdir, set_global_seed
+from .checkpoint import restore_into, save_checkpoint
+from .param_groups import lr_scale_fn_for, wd_mask_for
+
+logger = logging.getLogger("eyediseasesegmentation_tpu")
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _adaptive_avg_pool(mask: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Mask pyramid for deep supervision (reference get_pyramid,
+    train.py:428-445): average pooling to each head's spatial size."""
+    h, w = mask.shape[1], mask.shape[2]
+    rh, rw = h // out_hw[0], w // out_hw[1]
+    m = mask if mask.ndim == 4 else mask[..., None]
+    from flax import linen as nn
+    return nn.avg_pool(m, (rh, rw), strides=(rh, rw))
+
+
+def _model_outputs(out):
+    """Normalize model output to (final, ds_list or None, clf or None)."""
+    if not isinstance(out, tuple):
+        return out, None, None
+    if len(out) == 2 and isinstance(out[1], list):
+        return out[0], out[1], None
+    if len(out) == 3:
+        return out[0], out[1], out[2]
+    return out[0], None, out[1]
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Compiled-step trainer for one experiment config (see BaseConfig)."""
+
+    configs: Dict[str, Any]
+    logdir: Optional[Path] = None
+    seed: int = 1999
+
+    def __post_init__(self):
+        cfg = self.configs
+        self.dtype = jnp.bfloat16 if cfg.get("is_fp16", True) else jnp.float32
+        self.model = zoo.get_model(cfg["model_name"], dict(cfg.get("model_params") or {}),
+                                   training=True, dtype=self.dtype)
+        self.deep_supervision = bool(cfg.get("deep_supervision", False)) or bool(
+            (cfg.get("model_params") or {}).get("deep_supervision", False))
+        self.scale_size = int(cfg.get("scale_size", 1024))
+        prep_fn, _, _ = zoo.get_preprocessing_fn(cfg.get("dataset_name", "IDRiD"),
+                                                 cfg.get("gray", False))
+        transform_cls = get_transform(cfg.get("augmentation", "advanced"))
+        self.transform = transform_cls(image_size=self.scale_size,
+                                       preprocessing_fn=prep_fn)
+        self.criterion = dict(cfg.get("criterion") or {"bce": 1.0})
+        self.loss_fn = L.compound_loss(self.criterion,
+                                       pos_weights=cfg.get("pos_weights") or [1.0])
+        self.ds_loss_fn = (L.get_loss(cfg.get("criterion_ds") or "bce",
+                                      pos_weights=cfg.get("pos_weights") or [1.0])
+                           if self.deep_supervision else None)
+        self.ds_weight = float(cfg.get("ds_weight", 1.0))
+        mesh_shape = cfg.get("mesh_shape")
+        if not mesh_shape:
+            # default: as much data parallelism as the batch size divides into
+            import math
+            data = math.gcd(int(cfg.get("batch_size", 2)), jax.device_count())
+            mesh_shape = {"data": max(data, 1)}
+        self.mesh = make_mesh(mesh_shape)
+        self.metric_name = cfg.get("metric", "dice")
+        self.metric_mode = cfg.get("mode", "max")
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model = self.model
+        transform = self.transform
+        loss_fn = self.loss_fn
+        ds_loss_fn = self.ds_loss_fn
+        ds_weight = self.ds_weight
+        deep_supervision = self.deep_supervision
+
+        def loss_and_metrics(params, batch_stats, images, masks, rng, train):
+            variables = {"params": params, "batch_stats": batch_stats}
+            kwargs = dict(train=train)
+            if train:
+                out, updates = model.apply(variables, images, rngs={"dropout": rng},
+                                           mutable=["batch_stats"], **kwargs)
+            else:
+                out = model.apply(variables, images, **kwargs)
+                updates = {"batch_stats": batch_stats}
+            final, ds, _clf = _model_outputs(out)
+            m4 = masks[..., None] if masks.ndim == 3 else masks
+            total, parts = loss_fn(final.astype(jnp.float32), m4)
+            if deep_supervision and ds is not None:
+                for d in ds:
+                    pyr = _adaptive_avg_pool(m4, (d.shape[1], d.shape[2]))
+                    total = total + ds_weight * ds_loss_fn(d.astype(jnp.float32), pyr)
+            probs = jax.nn.sigmoid(final.astype(jnp.float32))
+            return total, (updates["batch_stats"], parts, probs, m4)
+
+        def train_step(state: TrainState, images, masks, rng, lr):
+            aug_key, drop_key = jax.random.split(jax.random.fold_in(rng, state.step))
+            images, masks = transform.batch_train(aug_key, images, masks)
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_and_metrics(p, state.batch_stats, images, masks,
+                                           drop_key, True),
+                has_aux=True)
+            (loss, (new_bs, parts, probs, m4)), grads = grad_fn(state.params)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = self.tx.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss,
+                       "dice": M.dice_coeff(probs, m4),
+                       "iou": M.iou_coeff(probs, m4)}
+            metrics.update({f"loss_{k}": v for k, v in parts.items()})
+            return TrainState(new_params, new_bs, new_opt, state.step + 1), metrics
+
+        def eval_step(state: TrainState, images, masks, n_valid):
+            from ..ops import image as I
+            images = jax.vmap(transform.test)(images)
+            m = masks[..., None] if masks.ndim == 3 else masks
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            out = model.apply(variables, images, train=False)
+            final, _, _ = _model_outputs(out)
+            probs = jax.nn.sigmoid(final.astype(jnp.float32))
+            # GT through the same longest-max-size + pad geometry as the image
+            # (val metric at scale_size, as the reference's val loader does)
+            tm = jax.vmap(lambda mm: I.longest_max_size_pad(
+                mm, transform.image_size, method="nearest"))(m)
+            valid = (jnp.arange(images.shape[0]) < n_valid).astype(jnp.float32)
+            vmask = valid[:, None, None, None]
+            pred = (probs > 0.5).astype(jnp.float32) * vmask
+            true = (tm > 0.5).astype(jnp.float32) * vmask
+            inter = jnp.sum(pred * true)
+            return {"inter": inter, "pred": jnp.sum(pred), "true": jnp.sum(true),
+                    "loss": loss_and_metrics(state.params, state.batch_stats,
+                                             images, tm, jax.random.PRNGKey(0),
+                                             False)[0]}
+
+        rep = replicated_sharding(self.mesh)
+        img_shard = batch_sharding(self.mesh, ndim=4)
+        mask_shard = batch_sharding(self.mesh, ndim=3)
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, img_shard, mask_shard, rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            eval_step,
+            in_shardings=(rep, img_shard, mask_shard, rep),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, sample_shape=None) -> TrainState:
+        cfg = self.configs
+        shape = sample_shape or (1, self.scale_size, self.scale_size, 3)
+        dummy = jnp.zeros(shape, jnp.float32)
+        variables = self.model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        model_name = cfg["model_name"]
+        self.tx = get_optimizer(
+            cfg.get("optimizer", "adamw"),
+            learning_rate=float(cfg.get("learning_rate", 1e-3)),
+            weight_decay=float(cfg.get("weight_decay", 1e-5)),
+            lr_scale_fn=lr_scale_fn_for(model_name),
+            wd_mask=wd_mask_for(model_name),
+        )
+        opt_state = self.tx.init(params)
+        state = TrainState(params, batch_stats, opt_state, jnp.zeros([], jnp.int32))
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def num_parameters(self, state: TrainState) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.params))
+
+    # ------------------------------------------------------------------
+    def fit(self, train_ds, valid_ds, num_epochs: Optional[int] = None,
+            resume_path: Optional[str] = None) -> Dict[str, Any]:
+        cfg = self.configs
+        num_epochs = num_epochs or int(cfg.get("num_epochs", 100))
+        batch_size = int(cfg.get("batch_size", 2))
+        patience = int(cfg.get("early_stopping_patience", 20))
+        logdir = Path(self.logdir) if self.logdir else Path("models/_scratch")
+        (logdir / "checkpoints").mkdir(parents=True, exist_ok=True)
+
+        root_key = set_global_seed(self.seed)
+        state = self.init_state(root_key,
+                                sample_shape=(batch_size, self.scale_size,
+                                              self.scale_size, 3))
+        start_epoch = 0
+        if resume_path:
+            payload = restore_into({"state": state, "epoch": 0}, resume_path)
+            state, start_epoch = payload["state"], int(payload["epoch"]) + 1
+            logger.info("resumed from %s at epoch %d", resume_path, start_epoch)
+
+        n_train_batches = max(1, len(train_ds) // batch_size)
+        scheduler = get_scheduler(cfg.get("scheduler", "reduce"),
+                                  float(cfg.get("learning_rate", 1e-3)),
+                                  num_epochs, n_train_batches,
+                                  mode=self.metric_mode)
+        lr = float(cfg.get("learning_rate", 1e-3))
+
+        best_metric = -np.inf if self.metric_mode == "max" else np.inf
+        bad_epochs = 0
+        history = []
+        global_step = 0
+        metrics_file = logdir / "metrics.jsonl"
+
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.time()
+            # ---- train ----
+            train_metrics = []
+            for batch in batch_iterator(train_ds, batch_size, shuffle=True,
+                                        drop_last=True, seed=self.seed + epoch):
+                if scheduler is not None and scheduler.batch_update:
+                    lr = scheduler.batch_lr(global_step)
+                state, m = self._train_step(
+                    state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+                    jax.random.fold_in(root_key, 1000 + epoch),
+                    jnp.asarray(lr, jnp.float32))
+                train_metrics.append(m)
+                global_step += 1
+            train_agg = {k: float(np.mean([np.asarray(m[k]) for m in train_metrics]))
+                         for k in train_metrics[0]} if train_metrics else {}
+
+            # ---- validate ----
+            inter = pred = true = 0.0
+            vlosses = []
+            for batch in batch_iterator(valid_ds, batch_size, shuffle=False):
+                r = self._eval_step(state, jnp.asarray(batch["image"]),
+                                    jnp.asarray(batch["mask"]),
+                                    jnp.asarray(batch["n_valid"]))
+                inter += float(r["inter"]); pred += float(r["pred"])
+                true += float(r["true"]); vlosses.append(float(r["loss"]))
+            eps = 1e-7
+            val_dice = (2 * inter + eps) / (pred + true + eps)
+            val_iou = (inter + eps) / (pred + true - inter + eps)
+            val_metrics = {"dice": val_dice, "iou": val_iou,
+                           "loss": float(np.mean(vlosses)) if vlosses else 0.0}
+
+            # ---- schedule / select / stop ----
+            metric_val = val_metrics.get(self.metric_name, val_dice)
+            if scheduler is not None and not scheduler.batch_update:
+                lr = scheduler.epoch_lr(epoch, metric_val)
+            better = (metric_val > best_metric if self.metric_mode == "max"
+                      else metric_val < best_metric)
+            if better:
+                best_metric = metric_val
+                bad_epochs = 0
+                save_checkpoint(logdir / "checkpoints" / "best.ckpt",
+                                {"model_state_dict": {
+                                    "params": state.params,
+                                    "batch_stats": state.batch_stats},
+                                 "metric": float(metric_val), "epoch": epoch})
+            else:
+                bad_epochs += 1
+            save_checkpoint(logdir / "checkpoints" / "last.ckpt",
+                            {"model_state_dict": {
+                                "params": state.params,
+                                "batch_stats": state.batch_stats},
+                             "metric": float(metric_val), "epoch": epoch})
+            save_checkpoint(logdir / "checkpoints" / "best_full.ckpt",
+                            {"state": state, "epoch": epoch})
+
+            row = {"epoch": epoch, "lr": lr, "time": time.time() - t0,
+                   **{f"train_{k}": v for k, v in train_agg.items()},
+                   **{f"val_{k}": v for k, v in val_metrics.items()}}
+            history.append(row)
+            with open(metrics_file, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            logger.info("epoch %d | loss %.4f | val_dice %.4f | lr %.2e | %.1fs",
+                        epoch, train_agg.get("loss", float("nan")), val_dice, lr,
+                        row["time"])
+
+            if bad_epochs >= patience:
+                logger.info("early stopping at epoch %d (patience %d)", epoch, patience)
+                break
+
+        return {"history": history, "best_metric": float(best_metric),
+                "state": state, "logdir": logdir}
+
+
+def train_model(exp_name: str, configs: Dict[str, Any], seed: int = 1999,
+                models_root: str = "models") -> Path:
+    """The reference entry point (train.py:160): build data from the config's
+    paths, train, and write checkpoints + config.json under
+    ``models/<dataset>/<lesion>/<exp_name>/``."""
+    cfg = dict(configs)
+    logdir = make_logdir(models_root, cfg.get("dataset_name", "IDRiD"),
+                         cfg.get("lesion_type", "EX"), exp_name)
+    with open(logdir / "config.json", "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+
+    imgs, masks = get_datapath(Path(cfg["train_img_path"]),
+                               Path(cfg["train_mask_path"]),
+                               cfg.get("lesion_type", "EX"))
+    (tr_i, tr_m), (va_i, va_m) = train_val_split(
+        imgs, masks, val_size=float(cfg.get("val_size", 0.2)), seed=seed)
+    train_ds = OneLesionSegmentation(tr_i, tr_m, gray=cfg.get("gray", False),
+                                     ben_transform=cfg.get("use_ben_transform", False))
+    valid_ds = OneLesionSegmentation(va_i, va_m, gray=cfg.get("gray", False),
+                                     ben_transform=cfg.get("use_ben_transform", False))
+    logger.info("train %d | valid %d images", len(train_ds), len(valid_ds))
+
+    trainer = Trainer(cfg, logdir=logdir, seed=seed)
+    result = trainer.fit(train_ds, valid_ds,
+                         resume_path=cfg.get("resume_path"))
+    logger.info("best %s: %.4f", cfg.get("metric", "dice"), result["best_metric"])
+    return logdir

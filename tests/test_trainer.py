@@ -1,0 +1,119 @@
+"""Synthetic-data integration tests of the training engine (the role of the
+reference's src/main/test.py Catalyst scratchpad — SURVEY.md §4.3)."""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+
+from eyediseasesegmentation_tpu.data.synthetic import make_idrid_tree
+from eyediseasesegmentation_tpu.train import train_model
+from eyediseasesegmentation_tpu.train.checkpoint import load_checkpoint
+
+
+@pytest.fixture(scope="module")
+def small_config(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_idrid_tree(root, lesion_type="EX", n_train=6, n_test=2, size=(64, 64))
+    return {
+        "train_img_path": str(root / "train" / "image"),
+        "train_mask_path": str(root / "train" / "mask"),
+        "dataset_name": "IDRiD",
+        "lesion_type": "EX",
+        "gray": False,
+        "augmentation": "normal",
+        "use_ben_transform": False,
+        "scale_size": 64,
+        "data_type": "all",
+        "num_epochs": 3,
+        "batch_size": 2,
+        "val_size": 0.34,
+        "learning_rate": 1e-3,
+        "weight_decay": 1e-5,
+        "is_fp16": False,
+        "model_name": "classic_unet",
+        "model_params": {"filters": (8, 16, 32), "classes": 1},
+        "metric": "dice",
+        "mode": "max",
+        "criterion": {"bce": 0.8, "log_dice": 0.2},
+        "deep_supervision": False,
+        "pos_weights": [5.0],
+        "optimizer": "adamw",
+        "scheduler": "reduce",
+        "early_stopping_patience": 20,
+    }
+
+
+@pytest.fixture(scope="module")
+def run(small_config, tmp_path_factory):
+    models_root = tmp_path_factory.mktemp("models")
+    logdir = train_model("test_exp", small_config, seed=1999,
+                         models_root=str(models_root))
+    return logdir
+
+
+def test_artifacts_layout(run):
+    # models/<dataset>/<lesion>/<exp>/ with config.json + checkpoints (README:55-57)
+    assert run.name == "test_exp"
+    assert run.parent.name == "EX" and run.parent.parent.name == "IDRiD"
+    assert (run / "config.json").exists()
+    for ckpt in ("best.ckpt", "last.ckpt", "best_full.ckpt"):
+        assert (run / "checkpoints" / ckpt).exists()
+
+
+def test_config_roundtrip(run, small_config):
+    saved = json.loads((run / "config.json").read_text())
+    assert saved["model_name"] == small_config["model_name"]
+    assert saved["criterion"] == {"bce": 0.8, "log_dice": 0.2}
+
+
+def test_training_progress(run):
+    rows = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+    assert len(rows) == 3
+    losses = [r["train_loss"] for r in rows]
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert all(np.isfinite(r["val_dice"]) for r in rows)
+
+
+def test_checkpoint_contract(run):
+    ckpt = load_checkpoint(run / "checkpoints" / "best.ckpt")
+    # the model_state_dict key is the contract tta/ensemble consume
+    assert "model_state_dict" in ckpt
+    assert "params" in ckpt["model_state_dict"]
+    assert "metric" in ckpt
+
+
+def test_deep_supervision_training(small_config, tmp_path_factory):
+    cfg = dict(small_config)
+    cfg.update(model_name="unetplusplus_deepsup",
+               model_params={"encoder_name": "resnet18", "deep_supervision": True,
+                             "decoder_attention_type": "scse"},
+               deep_supervision=True, criterion_ds="bce", num_epochs=1)
+    models_root = tmp_path_factory.mktemp("models_ds")
+    logdir = train_model("ds_exp", cfg, seed=1999, models_root=str(models_root))
+    rows = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
+    assert np.isfinite(rows[0]["train_loss"])
+
+
+def test_sharded_training_on_virtual_mesh(small_config, tmp_path_factory):
+    """8-virtual-device CPU mesh: batch sharded over 'data'
+    (the distributed_training.py role — SURVEY.md §4.4)."""
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+    cfg = dict(small_config)
+    cfg.update(mesh_shape={"data": 4}, batch_size=4, num_epochs=1)
+    models_root = tmp_path_factory.mktemp("models_mesh")
+    logdir = train_model("mesh_exp", cfg, seed=1999, models_root=str(models_root))
+    rows = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
+    assert np.isfinite(rows[0]["train_loss"])
+
+
+def test_resume_from_best_full(run, small_config):
+    cfg = dict(small_config)
+    cfg["num_epochs"] = 4  # one more than the original run
+    cfg["resume_path"] = str(run / "checkpoints" / "best_full.ckpt")
+    logdir = train_model("resume_exp", cfg, seed=1999,
+                         models_root=str(run.parent.parent.parent))
+    rows = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
+    # resumed at epoch 3 (after the 3 completed epochs) => exactly 1 new epoch
+    assert [r["epoch"] for r in rows] == [3]
