@@ -1,0 +1,332 @@
+"""Test-time-augmentation inference — single-pass, batched on a device axis.
+
+TPU re-design of reference ``src/main/tta.py``: the ttach wrapper ran 8 D4
+forwards per batch and the re-iterable generator re-executed them 3× (once for
+AUC, once for the threshold sweep, once for mask export — 24 forwards/image,
+tta.py:108-148). Here the V augmented views are stacked on a leading axis and
+run as ONE batched forward inside jit; predictions are computed once and reused
+for AUC, the vectorized threshold sweep, and mask export (SURVEY.md §6).
+
+TTA aliases (reference tta.py:92-99): d4 / multiscale(1,2,4) / flip / hflip /
+five_crop / ten_crop / none.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import models as zoo
+from ..data import TestSegmentation, get_datapath, get_transform
+from ..data.datasets import batch_iterator
+from ..ops import image as I
+from ..ops import metrics as M
+from ..train.checkpoint import load_checkpoint
+from ..utils import make_grid, save_output
+from ..utils.grid import make_grid as _make_grid
+
+logger = logging.getLogger("eyediseasesegmentation_tpu")
+
+
+# ---------------------------------------------------------------------------
+# TTA view families: build (V, B, H, W, C) stacks and their inverses
+# ---------------------------------------------------------------------------
+
+def _flip_views(img):  # ttach HFlip x VFlip compose: 4 combinations
+    return jnp.stack([img, I.hflip(img), I.vflip(img), I.vflip(I.hflip(img))], 0)
+
+
+def _flip_inverse(views):
+    return jnp.stack([views[0], I.hflip(views[1]), I.vflip(views[2]),
+                      I.hflip(I.vflip(views[3]))], 0)
+
+
+def _hflip_views(img):
+    return jnp.stack([img, I.hflip(img)], 0)
+
+
+def _hflip_inverse(views):
+    return jnp.stack([views[0], I.hflip(views[1])], 0)
+
+
+TTA_FAMILIES: Dict[str, Tuple[Callable, Callable, int]] = {
+    "d4": (I.d4_views, I.d4_inverse, 8),
+    "flip": (_flip_views, _flip_inverse, 4),
+    "hflip": (_hflip_views, _hflip_inverse, 2),
+    "none": (lambda x: x[None], lambda v: v, 1),
+}
+
+MULTISCALE_SCALES = (1, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# Model (re)construction from a run directory
+# ---------------------------------------------------------------------------
+
+def load_model_for_inference(logdir, best: bool = True, dtype=jnp.bfloat16):
+    """Rebuild the model from <logdir>/config.json with inference demotions and
+    load best/last checkpoint params (reference tta.py:62-87)."""
+    logdir = Path(logdir)
+    with open(logdir / "config.json") as f:
+        config = json.load(f)
+    model = zoo.get_model(config["model_name"], dict(config.get("model_params") or {}),
+                          training=False, dtype=dtype)
+    ckpt_name = "best.ckpt" if best else "last.ckpt"
+    ckpt = load_checkpoint(logdir / "checkpoints" / ckpt_name)
+    state = ckpt["model_state_dict"]
+    return model, {"params": state["params"],
+                   "batch_stats": state.get("batch_stats", {})}, config
+
+
+# ---------------------------------------------------------------------------
+# The predictor
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TTAPredictor:
+    """Jit-compiled whole-image TTA predictor.
+
+    ``predict(raw_images)`` maps (B, H0, W0, 3) raw host images to
+    (B, H0, W0) probabilities at original resolution: resize+normalize → V
+    views as one batched forward → inverse views → mean → center-crop the pad →
+    resize back (the reference predict_generator, tta.py:108-121)."""
+
+    model: Any
+    variables: Dict[str, Any]
+    config: Dict[str, Any]
+    tta: str = "d4"
+    ori_hw: Optional[Tuple[int, int]] = None
+
+    def __post_init__(self):
+        cfg = self.config
+        self.scale_size = int(cfg.get("scale_size", 1024))
+        prep_fn, _, _ = zoo.get_preprocessing_fn(cfg.get("dataset_name", "IDRiD"),
+                                                 cfg.get("gray", False))
+        transform_cls = get_transform("normal")
+        self.transform = transform_cls(image_size=self.scale_size,
+                                       preprocessing_fn=prep_fn)
+        self._predict_jit = jax.jit(self._predict)
+
+    def _forward(self, images):
+        out = self.model.apply(self.variables, images, train=False)
+        if isinstance(out, tuple):
+            out = out[0]
+        return jax.nn.sigmoid(out.astype(jnp.float32))[..., 0]
+
+    def _tta_probs(self, imgs):
+        """imgs (B, S, S, C) normalized -> mean TTA probs (B, S, S)."""
+        if self.tta == "multiscale":
+            acc = 0.0
+            for s in MULTISCALE_SCALES:
+                if s == 1:
+                    p = self._forward(imgs)
+                else:
+                    n, h, w, c = imgs.shape
+                    up = jax.image.resize(imgs, (n, h * s, w * s, c), "bilinear")
+                    p = self._forward(up)
+                    p = jax.image.resize(p, (n, h, w), "bilinear")
+                acc = acc + p
+            return acc / len(MULTISCALE_SCALES)
+        if self.tta in ("five_crop", "ten_crop"):
+            return self._crop_tta(imgs)
+        make_views, inverse, V = TTA_FAMILIES[self.tta]
+        views = make_views(imgs)  # (V, B, S, S, C)
+        v, b, h, w, c = views.shape
+        probs = self._forward(views.reshape(v * b, h, w, c))
+        probs = inverse(probs.reshape(v, b, h, w)[..., None])[..., 0]
+        return jnp.mean(probs, axis=0)
+
+    def _crop_tta(self, imgs):
+        """five_crop: 4 corners + center at S/2, predictions pasted back and
+        count-normalized; ten_crop adds the hflip set."""
+        n, s = imgs.shape[0], imgs.shape[1]
+        cs = s // 2
+        corners = [(0, 0), (0, s - cs), (s - cs, 0), (s - cs, s - cs),
+                   ((s - cs) // 2, (s - cs) // 2)]
+        batches = [imgs] if self.tta == "five_crop" else [imgs, I.hflip(imgs)]
+        acc = jnp.zeros((n, s, s), jnp.float32)
+        cnt = jnp.zeros((s, s), jnp.float32)
+        for bi, im in enumerate(batches):
+            for (y, x) in corners:
+                crop = jax.lax.dynamic_slice(
+                    im, (0, y, x, 0), (n, cs, cs, im.shape[-1]))
+                p = self._forward(crop)
+                if bi == 1:
+                    p = p[:, :, ::-1]
+                    x = s - cs - x
+                acc = jax.lax.dynamic_update_slice(
+                    acc, jax.lax.dynamic_slice(acc, (0, y, x), (n, cs, cs)) + p,
+                    (0, y, x))
+                cnt = jax.lax.dynamic_update_slice(
+                    cnt, jax.lax.dynamic_slice(cnt, (y, x), (cs, cs)) + 1.0, (y, x))
+        return acc / jnp.maximum(cnt, 1.0)[None]
+
+    def _predict(self, raw_images):
+        imgs = jax.vmap(self.transform.test)(raw_images)
+        probs = self._tta_probs(imgs)
+        ori_h, ori_w = self.ori_hw or (raw_images.shape[1], raw_images.shape[2])
+        crop_h, crop_w = I.longest_max_size_shape(ori_h, ori_w, self.scale_size)
+        probs = jax.vmap(lambda p: I.center_crop(p, (crop_h, crop_w)))(probs)
+        probs = jax.vmap(lambda p: I.resize(p, (ori_h, ori_w)))(probs)
+        return probs
+
+    def predict(self, raw_images) -> jnp.ndarray:
+        return self._predict_jit(jnp.asarray(raw_images, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Whole-image inference pipeline (reference test_tta, tta.py:56-148)
+# ---------------------------------------------------------------------------
+
+def _str2bool(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
+             batch_size: int = 2) -> Dict[str, Any]:
+    """Single-pass TTA inference + AUC-PR + threshold search + mask export.
+
+    Returns {'mean_auc', 'thresholds', 'out_dir'} and writes masks to
+    outputs/<ds>/tta/<lesion>/<exp>/ (+ prob_image/ when createprob)."""
+    logdir = Path(logdir)
+    model, variables, run_cfg = load_model_for_inference(
+        logdir, best=_str2bool(args.get("best", "true")))
+    cfg = {**run_cfg, **config}
+
+    img_paths, mask_paths = get_datapath(Path(cfg["test_img_path"]),
+                                         Path(cfg["test_mask_path"]),
+                                         cfg.get("lesion_type", "EX"))
+    ds = TestSegmentation(img_paths, mask_paths, gray=cfg.get("gray", False),
+                          ben_transform=cfg.get("use_ben_transform", False))
+    first = ds[0]
+    predictor = TTAPredictor(model, variables, cfg,
+                             tta=args.get("tta", "d4"),
+                             ori_hw=(first["ori_h"], first["ori_w"]))
+
+    # ---- one prediction pass; metrics fan out from the same probs ----
+    all_probs: List[np.ndarray] = []
+    all_masks: List[np.ndarray] = []
+    names: List[str] = []
+    ap_sum, ap_count = 0.0, 0
+    n_th = len(M.THRESH_LIST)
+    tp = np.zeros(n_th); ap_counts = np.zeros(n_th); pp = np.zeros(n_th)
+    ap_fn = jax.jit(M.average_precision)
+    sweep_fn = jax.jit(M.threshold_sweep)
+
+    for batch in batch_iterator(ds, batch_size, shuffle=False):
+        probs = predictor.predict(batch["image"])
+        for i in range(batch["n_valid"]):
+            p = probs[i]
+            g = jnp.asarray(batch["mask"][i])
+            all_probs.append(np.asarray(p))
+            all_masks.append(np.asarray(g))
+            names.append(batch["filename"][i])
+            if float(jnp.sum(g)) > 0:  # skip empty-GT (aucpr.py:22-23)
+                ap_sum += float(ap_fn(p, g))
+                ap_count += 1
+            t, a, q, _ = sweep_fn(p, g)
+            tp += np.asarray(t); ap_counts += np.asarray(a); pp += np.asarray(q)
+
+    mean_auc = ap_sum / max(ap_count, 1)
+    logger.info("MEAN-AUC %.5f", mean_auc)
+
+    from ..analysis.aucpr import pr_curve_report
+    out_root = Path(cfg.get("out_dir", "outputs")) / cfg["dataset_name"]
+    thresholds = pr_curve_report(tp, ap_counts, pp, logdir.name,
+                                 figure_dir=out_root / "figures" / cfg["lesion_type"])
+    optim = thresholds["optimal_threshold_2"]  # F-max (tta.py:137)
+    logger.info("optimal thresholds: %s", thresholds)
+
+    out_path = out_root / "tta" / cfg["lesion_type"] / logdir.name
+    out_path.mkdir(parents=True, exist_ok=True)
+    prob_path = out_root / "tta" / cfg["lesion_type"] / "prob_image" / logdir.name
+    for p, name in zip(all_probs, names):
+        stem = Path(name).stem + ".jpg"
+        if _str2bool(args.get("createprob", "false")):
+            prob_path.mkdir(parents=True, exist_ok=True)
+            save_output((p * 255).astype(np.uint8), prob_path / stem)
+        mask = (p > optim).astype(np.uint8)
+        save_output(mask, out_path / stem)
+
+    return {"mean_auc": mean_auc, "thresholds": thresholds,
+            "out_dir": str(out_path)}
+
+
+test_tta.__test__ = False  # keep pytest from collecting the API function
+
+
+# ---------------------------------------------------------------------------
+# Tiled (sliding-window) inference (reference tta_patches, tta.py:150-244)
+# ---------------------------------------------------------------------------
+
+def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any]) -> Dict[str, Any]:
+    """Sliding-window inference as an on-device lax.scan (no host round-trips),
+    then the same AUC/threshold/export pipeline."""
+    from ..ops.tiling import tiled_predict
+
+    logdir = Path(logdir)
+    model, variables, run_cfg = load_model_for_inference(
+        logdir, best=_str2bool(args.get("best", "true")))
+    cfg = {**run_cfg, **config}
+    scale_size = int(cfg.get("scale_size", 1024))
+    window = 2 * scale_size  # make_grid(window=scale_size*2, overlap=32), tta.py:197
+
+    img_paths, mask_paths = get_datapath(Path(cfg["test_img_path"]),
+                                         Path(cfg["test_mask_path"]),
+                                         cfg.get("lesion_type", "EX"))
+    ds = TestSegmentation(img_paths, mask_paths, gray=cfg.get("gray", False))
+    prep_fn, _, _ = zoo.get_preprocessing_fn(cfg.get("dataset_name", "IDRiD"),
+                                             cfg.get("gray", False))
+
+    def tile_fn(tile):
+        x = prep_fn(tile)[None]
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, tuple):
+            out = out[0]
+        return jax.nn.sigmoid(out.astype(jnp.float32))[0, ..., 0]
+
+    first = ds[0]
+    h0, w0 = first["ori_h"], first["ori_w"]
+    window = min(window, h0, w0)
+    grid = _make_grid((h0, w0), window=window, min_overlap=32)
+    predict = jax.jit(partial(tiled_predict, tile_fn, window=window,
+                              scale_size=scale_size))
+
+    ap_sum, ap_count = 0.0, 0
+    n_th = len(M.THRESH_LIST)
+    tp = np.zeros(n_th); apc = np.zeros(n_th); pp = np.zeros(n_th)
+    probs_list, names = [], []
+    for i in range(len(ds)):
+        s = ds[i]
+        probs = predict(jnp.asarray(s["image"], jnp.float32),
+                        grid=jnp.asarray(grid))
+        g = jnp.asarray(s["mask"])
+        probs_list.append(np.asarray(probs)); names.append(s["filename"])
+        if float(jnp.sum(g)) > 0:
+            ap_sum += float(M.average_precision(probs, g))
+            ap_count += 1
+        t, a, q, _ = M.threshold_sweep(probs, g)
+        tp += np.asarray(t); apc += np.asarray(a); pp += np.asarray(q)
+
+    mean_auc = ap_sum / max(ap_count, 1)
+    from ..analysis.aucpr import pr_curve_report
+    out_root = Path(cfg.get("out_dir", "outputs")) / cfg["dataset_name"]
+    thresholds = pr_curve_report(tp, apc, pp, logdir.name,
+                                 figure_dir=out_root / "figures" / cfg["lesion_type"])
+    optim = thresholds["optimal_threshold_2"]
+    out_path = out_root / "tta" / cfg["lesion_type"] / logdir.name
+    out_path.mkdir(parents=True, exist_ok=True)
+    for p, name in zip(probs_list, names):
+        # IDRiD name remap _<LESION>.tif → .jpg (tta.py:191,234)
+        stem = Path(name).stem.replace(f"_{cfg['lesion_type']}", "") + ".jpg"
+        save_output((p > optim).astype(np.uint8), out_path / stem)
+    return {"mean_auc": mean_auc, "thresholds": thresholds,
+            "out_dir": str(out_path)}

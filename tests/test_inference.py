@@ -1,0 +1,167 @@
+"""Inference engine + full-pipeline end-to-end tests on synthetic data."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from eyediseasesegmentation_tpu.data.synthetic import make_idrid_tree
+from eyediseasesegmentation_tpu.infer.tta import (TTAPredictor, test_tta,
+                                                  tta_patches,
+                                                  load_model_for_inference)
+from eyediseasesegmentation_tpu.infer.ensemble import predict as ensemble_predict
+from eyediseasesegmentation_tpu.train import train_model
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_idrid_tree(root, lesion_type="EX", n_train=6, n_test=3, size=(64, 64))
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(data_root, tmp_path_factory):
+    models_root = tmp_path_factory.mktemp("models")
+    cfg = {
+        "train_img_path": str(data_root / "train" / "image"),
+        "train_mask_path": str(data_root / "train" / "mask"),
+        "dataset_name": "IDRiD", "lesion_type": "EX", "gray": False,
+        "augmentation": "normal", "use_ben_transform": False,
+        "scale_size": 64, "data_type": "all", "num_epochs": 2, "batch_size": 2,
+        "val_size": 0.34, "learning_rate": 1e-3, "weight_decay": 1e-5,
+        "is_fp16": False, "model_name": "classic_unet",
+        "model_params": {"filters": (8, 16, 32), "classes": 1},
+        "metric": "dice", "mode": "max", "criterion": {"bce": 1.0},
+        "deep_supervision": False, "pos_weights": [5.0],
+        "optimizer": "adamw", "scheduler": "reduce",
+    }
+    logdir = train_model("infer_exp", cfg, seed=1999, models_root=str(models_root))
+    return logdir, cfg
+
+
+def _test_config(data_root, out_dir, **extra):
+    return {
+        "test_img_path": str(data_root / "test" / "image"),
+        "test_mask_path": str(data_root / "test" / "label"),
+        "dataset_name": "IDRiD", "lesion_type": "EX", "gray": False,
+        "scale_size": 64, "data_type": "all", "out_dir": str(out_dir),
+        **extra,
+    }
+
+
+@pytest.mark.parametrize("tta", ["none", "hflip", "d4"])
+def test_tta_predictor_equivariance(trained, tta):
+    """TTA-mean prediction of a symmetric model must match shape and stay in
+    [0,1]; d4 of a constant image equals the no-TTA prediction."""
+    logdir, _ = trained
+    model, variables, cfg = load_model_for_inference(logdir)
+    pred = TTAPredictor(model, variables, cfg, tta=tta, ori_hw=(64, 64))
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32) * 255
+    probs = np.asarray(pred.predict(x))
+    assert probs.shape == (2, 64, 64)
+    assert probs.min() >= 0.0 and probs.max() <= 1.0
+
+
+def test_d4_tta_is_view_mean(trained):
+    """The fused d4 pass must equal the explicit 8-view loop."""
+    from eyediseasesegmentation_tpu.ops import image as I
+    logdir, _ = trained
+    model, variables, cfg = load_model_for_inference(logdir)
+    pred = TTAPredictor(model, variables, cfg, tta="d4", ori_hw=(64, 64))
+    x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32) * 255
+    fused = np.asarray(pred.predict(x))
+
+    pred_none = TTAPredictor(model, variables, cfg, tta="none", ori_hw=(64, 64))
+    views = np.asarray(I.d4_views(jnp.asarray(x[0])))  # (8, 64, 64, 3)
+    outs = []
+    for i, v in enumerate(views):
+        p = np.asarray(pred_none.predict(v[None]))[0]
+        # invert the view on the prediction
+        k = i % 4
+        flip = i >= 4
+        q = np.rot90(p, -k)
+        if flip:
+            q = q[:, ::-1]
+        outs.append(q)
+    manual = np.mean(outs, axis=0)
+    np.testing.assert_allclose(fused[0], manual, atol=2e-2)
+
+
+def test_test_tta_pipeline(trained, data_root, tmp_path):
+    logdir, _ = trained
+    cfg = _test_config(data_root, tmp_path / "outputs")
+    args = {"createprob": "true", "best": "true", "tta": "hflip"}
+    result = test_tta(logdir, cfg, args)
+    assert 0.0 <= result["mean_auc"] <= 1.0
+    out = Path(result["out_dir"])
+    assert len(list(out.glob("*.jpg"))) == 3  # one mask per test image
+    # figure written
+    fig = Path(cfg["out_dir"]) / "IDRiD" / "figures" / "EX"
+    assert len(list(fig.glob("*.jpg"))) == 1
+    # prob images written
+    prob = Path(cfg["out_dir"]) / "IDRiD" / "tta" / "EX" / "prob_image"
+    assert len(list(prob.rglob("*.jpg"))) == 3
+
+
+def test_export_result_csvs(trained, data_root, tmp_path):
+    from eyediseasesegmentation_tpu.analysis.stat_result import export_result
+    logdir, _ = trained
+    cfg = _test_config(data_root, tmp_path / "outputs")
+    test_tta(logdir, cfg, {"createprob": "false", "best": "true", "tta": "none"})
+    out_dir = export_result(f"EX/{logdir.name}", cfg)
+    for key in ("sn", "ppv", "sp", "iou", "dice"):
+        csv = out_dir / f"{key}.csv"
+        assert csv.exists()
+        lines = csv.read_text().strip().splitlines()
+        assert len(lines) == 4  # 3 images + Avg:
+        assert lines[-1].startswith("Avg:")
+        val = float(lines[-1].split(",")[1])
+        assert 0.0 <= val <= 1.0
+
+
+def test_tiled_inference(trained, data_root, tmp_path):
+    logdir, _ = trained
+    cfg = _test_config(data_root, tmp_path / "outputs", scale_size=32)
+    result = tta_patches(logdir, cfg, {"best": "true"})
+    assert 0.0 <= result["mean_auc"] <= 1.0
+    assert len(list(Path(result["out_dir"]).glob("*.jpg"))) == 3
+
+
+def test_ensemble(trained, data_root, tmp_path):
+    logdir, _ = trained
+    result = ensemble_predict(_test_config(data_root, tmp_path / "outputs"),
+                              [logdir, logdir], tmp_path / "ens", tta="none")
+    assert 0.0 <= result["mean_auc"] <= 1.0
+    assert len(list(Path(result["out_dir"]).glob("*.jpg"))) == 3
+
+
+def test_full_pipeline_driver(data_root, tmp_path, monkeypatch):
+    """python pipeline.py equivalent: train → infer → analyse in one call."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pipeline as pl
+
+    monkeypatch.chdir(tmp_path)
+    override = {
+        "train_img_path": str(data_root / "train" / "image"),
+        "train_mask_path": str(data_root / "train" / "mask"),
+        "test_img_path": str(data_root / "test" / "image"),
+        "test_mask_path": str(data_root / "test" / "label"),
+        "lesion_type": "EX", "scale_size": 64, "num_epochs": 1,
+        "batch_size": 2, "is_fp16": False, "augmentation": "normal",
+        "model_name": "classic_unet",
+        "model_params": {"filters": (8, 16), "classes": 1},
+        "criterion": {"bce": 1.0}, "pos_weights": [5.0],
+    }
+    cfg_file = tmp_path / "override.json"
+    cfg_file.write_text(json.dumps(override))
+    args = {"createprob": "false", "optim_thres": 0.0, "best": "true",
+            "tta": "hflip", "config": str(cfg_file), "exp_name": "e2e"}
+    logdir, result = pl.start_experiment(args)
+    assert (Path(logdir) / "checkpoints" / "best.ckpt").exists()
+    assert (Path("outputs") / "IDRiD" / "result_assessment" / "EX" / "e2e" /
+            "dice.csv").exists()
