@@ -1,0 +1,77 @@
+"""Benchmark: full-resolution IDRiD inference throughput with x8 (D4) TTA.
+
+The BASELINE.json headline metric: images/sec/chip at IDRiD full resolution
+(2848×4288) through the flagship UnetPlusPlusStar with the complete TTA
+pipeline on device — resize+pad to 1024², normalize, 8 dihedral views as ONE
+batched bf16 forward, inverse views + mean, un-pad crop, resize back to full
+resolution. Baseline target: >= 5 images/sec/chip (TPU v5e).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from eyediseasesegmentation_tpu import models as zoo
+    from eyediseasesegmentation_tpu.infer.tta import TTAPredictor
+
+    scale_size = 1024
+    ori_h, ori_w = 2848, 4288  # IDRiD native resolution
+    batch = 1
+    warmup, iters = 2, 8
+
+    model = zoo.get_model(
+        "unetplusplusstar",
+        {
+            "encoder_name": "BoTSER50_Axial_Imagenet_3",
+            "decoder_attention_type": "scse",
+            "base_dim": scale_size // 32,
+            "classes": 1,
+        },
+        training=False,
+        dtype=jnp.bfloat16,
+    )
+    from functools import partial
+
+    rng = jax.random.PRNGKey(0)
+    init_x = jnp.zeros((batch, scale_size, scale_size, 3), jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, init_x)
+
+    cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": scale_size}
+    predictor = TTAPredictor(model, variables, cfg, tta="d4",
+                             ori_hw=(ori_h, ori_w))
+
+    host_batch = (np.random.RandomState(0)
+                  .rand(batch, ori_h, ori_w, 3) * 255).astype(np.float32)
+
+    for _ in range(warmup):
+        probs = predictor.predict(host_batch)
+        jax.block_until_ready(probs)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        probs = predictor.predict(host_batch)
+        jax.block_until_ready(probs)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    baseline = 5.0  # BASELINE.json north-star: >=5 img/s/chip full-res x8-TTA
+    print(json.dumps({
+        "metric": "idrid_fullres_x8tta_images_per_sec",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,7 +19,12 @@ Dtype = Any
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d with fp32 statistics regardless of compute dtype.
+    """BatchNorm2d: fp32 statistics, bandwidth-lean eval path.
+
+    Training computes batch statistics in fp32 (flax BatchNorm). Eval folds the
+    running stats + affine into one per-channel (scale, bias) in fp32 and
+    applies it in the compute dtype — a single fused multiply-add instead of
+    bf16→fp32→bf16 round trips at every normalization (HBM-bound at 1024²).
 
     ``frozen=True`` reproduces the reference's frozen-BN-on-pretrained-layers
     behavior (set_bn_eval, unetplusplusstar.py:268-277): running stats are used
@@ -33,14 +38,27 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
         use_running = (not train) or self.frozen
-        y = nn.BatchNorm(
-            use_running_average=use_running,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        if use_running:
+            scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            bias = beta - ra_mean.value * scale
+            y = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+            return y.astype(self.dtype)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * gamma + beta
         return y.astype(self.dtype)
 
 
@@ -125,16 +143,15 @@ class SCSEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        # channel SE
+        # channel SE gate
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
         s = nn.relu(s)
         s = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
-        cse = x * jax.nn.sigmoid(s)
-        # spatial SE
+        # spatial SE gate
         t = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
-        sse = x * jax.nn.sigmoid(t)
-        return cse + sse
+        # x*σ(cse) + x*σ(sse) fused into one multiply (HBM-bound at 1024²)
+        return x * (jax.nn.sigmoid(s) + jax.nn.sigmoid(t))
 
 
 class Attention(nn.Module):

@@ -202,9 +202,11 @@ class Trainer:
         cfg = self.configs
         shape = sample_shape or (1, self.scale_size, self.scale_size, 3)
         dummy = jnp.zeros(shape, jnp.float32)
-        variables = self.model.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-            dummy, train=False)
+        # jit the init: eager init dispatches op-by-op (catastrophic over a
+        # remote-device tunnel); compiled init is one program
+        init_fn = jax.jit(partial(self.model.init, train=False))
+        variables = init_fn(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, dummy)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         model_name = cfg["model_name"]
