@@ -47,6 +47,50 @@ def synthetic_fundus(rng: np.random.RandomState, size: Tuple[int, int] = (128, 1
     return img, mask
 
 
+def synthetic_vessels(rng: np.random.RandomState,
+                      size: Tuple[int, int] = (64, 64)
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Square fundus-like image with thin bright curvilinear 'vessels'."""
+    h, w = size
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([110 + 20 * np.sin(xx / w * 4),
+                    55 + 15 * np.cos(yy / h * 3),
+                    25 + 8 * np.sin((xx - yy) / (h + w) * 5)], axis=-1)
+    mask = np.zeros((h, w), np.float32)
+    for _ in range(3):
+        phase = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.1, 0.3) * h
+        cy = rng.uniform(0.3, 0.7) * h
+        curve = cy + amp * np.sin(xx / w * np.pi * 2 + phase)
+        dist = np.abs(yy - curve)
+        width = rng.uniform(1.0, 2.5)
+        vessel = np.exp(-(dist / width) ** 2)
+        img[..., 0] += vessel * 80
+        mask = np.maximum(mask, (vessel > 0.4).astype(np.float32))
+    img = np.clip(img + rng.randn(h, w, 3) * 6, 0, 255).astype(np.uint8)
+    return img, (mask * 255).astype(np.uint8)
+
+
+def make_vessel_tree(root, n_train: int = 6, n_test: int = 3,
+                     size: Tuple[int, int] = (64, 64), seed: int = 1999) -> dict:
+    """Write a synthetic vessel dataset in the processed DRIVE layout:
+    ``root/{train,test}/{image,mask}/N.jpg`` (reference build_drive.py)."""
+    rng = np.random.RandomState(seed)
+    root = Path(root)
+    paths = {}
+    for split, n in (("train", n_train), ("test", n_test)):
+        img_dir = root / split / "image"
+        msk_dir = root / split / "mask"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        msk_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img, mask = synthetic_vessels(rng, size)
+            Image.fromarray(img).save(img_dir / f"{i}.jpg", quality=95)
+            Image.fromarray(mask).save(msk_dir / f"{i}.jpg", quality=95)
+        paths[split] = {"image": img_dir, "mask": msk_dir}
+    return paths
+
+
 def make_idrid_tree(root, lesion_type: str = "EX", n_train: int = 6,
                     n_test: int = 4, size: Tuple[int, int] = (128, 128),
                     seed: int = 1999) -> dict:

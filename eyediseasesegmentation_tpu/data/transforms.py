@@ -230,7 +230,16 @@ class AdvancedTransformVessel(AdvancedTransform):
         return super().hard(rest, img, mask)
 
 
+class NoOpTransform(BaseTransform):
+    """Preprocessing-only (the vessel patch path trains on pre-augmented,
+    pre-padded patches — reference train_vessel.py:219-233 uses no
+    albumentations transform). Resize still applies for whole images."""
+
+    pass
+
+
 TRANSFORM_REGISTRY = {
+    "none": NoOpTransform,
     "normal": NormalTransform,
     "easy": EasyTransform,
     "easy_v2": EasyTransformV2,

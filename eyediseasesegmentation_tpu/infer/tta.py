@@ -104,6 +104,8 @@ class TTAPredictor:
     config: Dict[str, Any]
     tta: str = "d4"
     ori_hw: Optional[Tuple[int, int]] = None
+    resize: bool = True  # False: vessel mode — images pre-padded, no resize
+                         # (reference tta_vessel.py:76)
 
     def __post_init__(self):
         cfg = self.config
@@ -170,6 +172,10 @@ class TTAPredictor:
         return acc / jnp.maximum(cnt, 1.0)[None]
 
     def _predict(self, raw_images):
+        if not self.resize:
+            prep = self.transform.preprocessing_fn or (lambda x: x)
+            probs = self._tta_probs(jax.vmap(prep)(raw_images))
+            return probs
         imgs = jax.vmap(self.transform.test)(raw_images)
         probs = self._tta_probs(imgs)
         ori_h, ori_w = self.ori_hw or (raw_images.shape[1], raw_images.shape[2])
@@ -191,9 +197,13 @@ def _str2bool(v) -> bool:
 
 
 def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
-             batch_size: int = 2) -> Dict[str, Any]:
-    """Single-pass TTA inference + AUC-PR + threshold search + mask export.
+             batch_size: int = 2, metric: str = "pr",
+             resize: bool = True) -> Dict[str, Any]:
+    """Single-pass TTA inference + AUC + threshold search + mask export.
 
+    ``metric='pr'`` is the lesion path (mean per-image AP + PR sweep,
+    tta.py:123-137); ``metric='roc'`` with ``resize=False`` is the vessel path
+    (AUC-ROC, no whole-image resize — tta_vessel.py:76,112-121).
     Returns {'mean_auc', 'thresholds', 'out_dir'} and writes masks to
     outputs/<ds>/tta/<lesion>/<exp>/ (+ prob_image/ when createprob)."""
     logdir = Path(logdir)
@@ -209,7 +219,8 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
     first = ds[0]
     predictor = TTAPredictor(model, variables, cfg,
                              tta=args.get("tta", "d4"),
-                             ori_hw=(first["ori_h"], first["ori_w"]))
+                             ori_hw=(first["ori_h"], first["ori_w"]),
+                             resize=resize)
 
     # ---- one prediction pass; metrics fan out from the same probs ----
     all_probs: List[np.ndarray] = []
@@ -218,7 +229,8 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
     ap_sum, ap_count = 0.0, 0
     n_th = len(M.THRESH_LIST)
     tp = np.zeros(n_th); ap_counts = np.zeros(n_th); pp = np.zeros(n_th)
-    ap_fn = jax.jit(M.average_precision)
+    tn = np.zeros(n_th); total_px = 0.0
+    score_fn = jax.jit(M.average_precision if metric == "pr" else M.roc_auc)
     sweep_fn = jax.jit(M.threshold_sweep)
 
     for batch in batch_iterator(ds, batch_size, shuffle=False):
@@ -230,18 +242,24 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
             all_masks.append(np.asarray(g))
             names.append(batch["filename"][i])
             if float(jnp.sum(g)) > 0:  # skip empty-GT (aucpr.py:22-23)
-                ap_sum += float(ap_fn(p, g))
+                ap_sum += float(score_fn(p, g))
                 ap_count += 1
-            t, a, q, _ = sweep_fn(p, g)
+            t, a, q, n = sweep_fn(p, g)
             tp += np.asarray(t); ap_counts += np.asarray(a); pp += np.asarray(q)
+            tn += np.asarray(n); total_px += p.size
 
     mean_auc = ap_sum / max(ap_count, 1)
     logger.info("MEAN-AUC %.5f", mean_auc)
 
-    from ..analysis.aucpr import pr_curve_report
+    from ..analysis.aucpr import pr_curve_report, roc_curve_report
     out_root = Path(cfg.get("out_dir", "outputs")) / cfg["dataset_name"]
-    thresholds = pr_curve_report(tp, ap_counts, pp, logdir.name,
-                                 figure_dir=out_root / "figures" / cfg["lesion_type"])
+    figure_dir = out_root / "figures" / cfg["lesion_type"]
+    if metric == "pr":
+        thresholds = pr_curve_report(tp, ap_counts, pp, logdir.name,
+                                     figure_dir=figure_dir)
+    else:
+        thresholds = roc_curve_report(tp, ap_counts, tn, total_px, logdir.name,
+                                      figure_dir=figure_dir)
     optim = thresholds["optimal_threshold_2"]  # F-max (tta.py:137)
     logger.info("optimal thresholds: %s", thresholds)
 
