@@ -88,6 +88,45 @@ class DropBlock2d(nn.Module):
         return x * keep * norm.astype(x.dtype)
 
 
+class Conv2d(nn.Module):
+    """Thin conv wrapper that routes tiny-channel high-res 3×3 convs through
+    the space-to-depth packed path (``ops.fastconv`` — ~3× on v5e, see module
+    docstring there); everything else through lax conv. Param layout matches
+    nn.Conv ('kernel' HWIO, optional 'bias')."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.fastconv import conv3x3_s2d, should_pack
+
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, cin // self.feature_group_count, self.features), jnp.float32)
+        if (k == 3 and self.strides == 1 and self.feature_group_count == 1
+                and should_pack(x.shape[1], x.shape[2], cin, self.features)):
+            y = conv3x3_s2d(x, kernel, compute_dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(self.strides, self.strides),
+                padding="SAME" if k > 1 else "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvBNReLU(nn.Module):
     """conv → DropBlock → BN → ReLU (the reference Conv2dReLU,
     unetplusplusstar.py:22-63)."""
@@ -101,14 +140,13 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        x = Conv2d(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding="SAME" if self.kernel_size > 1 else "VALID",
+            kernel_size=self.kernel_size,
+            strides=self.strides,
             use_bias=not self.use_batchnorm,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            name="conv",
         )(x)
         x = DropBlock2d(self.drop_block_prob, block_size=7)(x, train)
         if self.use_batchnorm:
@@ -281,8 +319,8 @@ class SegmentationHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.classes, (self.kernel_size, self.kernel_size),
-                    padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = Conv2d(self.classes, kernel_size=self.kernel_size,
+                   use_bias=True, dtype=self.dtype, name="conv")(x)
         if self.upsampling > 1:
             n, h, w, c = x.shape
             x = jax.image.resize(x, (n, h * self.upsampling, w * self.upsampling, c), "bilinear")
