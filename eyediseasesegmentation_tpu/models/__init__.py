@@ -27,6 +27,10 @@ from .fpn import FPN
 from .deeplabv3plus import DeepLabV3Plus
 from .unet3plus import UNet3Plus
 from .classic import ClassicUNet, AttUNet, R2UNet, R2AttUNet, SAUnet
+from .transformers import SegformerStar, SwinformerStar, TransUnet
+from .misc import (DcUnet, DoubleUnet, HEDUNet, HRNet, MedT,
+                   ResAxialAttentionUNet, ResUnetPlusPlus, UneXt50,
+                   UnetSEResNext101)
 
 __all__ = ["MODEL_REGISTRY", "list_models", "get_model", "get_preprocessing_fn"]
 
@@ -71,27 +75,69 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "resnet34_unet32": _factory(Unet, encoder_name="resnet34"),
     "resnet50_unet32": _factory(Unet, encoder_name="resnet50"),
     "seresnet50_unet32": _factory(Unet, encoder_name="seresnet50"),
-    # --- attention U-Nets (attentionunet.py) ---
+    "b4_unet32": _factory(Unet, encoder_name="efficientnet-b4"),
+    "b2_effunet32": _factory(Unet, encoder_name="efficientnet-b2"),
+    "b4_effunet32": _factory(Unet, encoder_name="efficientnet-b4"),
+    # --- attention U-Nets (attentionunet.py:223-250) ---
     "resnet50_attunet": _factory(AttentionUnet, encoder_name="resnet50"),
     "seresnet50_attunet": _factory(AttentionUnet, encoder_name="seresnet50"),
-    # --- FPN family (fpn.py) ---
-    "resnet34_fpncat128": _factory(FPN, encoder_name="resnet34", fpn_channels=128),
-    "seresnext50_fpncat128": _factory(FPN, encoder_name="seresnext50", fpn_channels=128),
-    "resnet152_fpncat256": _factory(FPN, encoder_name="resnet152", fpn_channels=256),
-    # --- DeepLab (deeplab.py + deep_supdeeplabv3plus.py) ---
-    "resnet34_deeplab128": _factory(DeepLabV3Plus, encoder_name="resnet34"),
-    "deeplabv3plus_deepsup": _factory(DeepLabV3Plus),
-    "seresnext101_deeplab256": _factory(DeepLabV3Plus, encoder_name="seresnext101"),
-    # --- UNet3+ (unet3plus.py) ---
-    "Unet3Plus_Base": _factory(UNet3Plus),
-    "Unet3Plus_DS": _factory(UNet3Plus, deep_supervision=True),
-    # --- classic implementations (LeeJunHyun_impl.py, rcnn_unet.py, sa_unet.py) ---
-    "LeeJunHyun_impl_att": _factory(AttUNet),
-    "LeeJunHyun_impl_R2U_Net": _factory(R2UNet),
-    "LeeJunHyun_impl_R2AttU_Net": _factory(R2AttUNet),
+    "efficientnetb2_attunet": _factory(AttentionUnet, encoder_name="efficientnet-b2"),
+    "mobilenetv3_attunet": _factory(AttentionUnet, encoder_name="mobilenetv3"),
+    "swin_tiny_attunet": _factory(AttentionUnet, encoder_name="swin_tiny"),
+    "swin_small_attunet": _factory(AttentionUnet, encoder_name="swin_small"),
+    # --- HRNet (hrnet.py:39-51) ---
+    "hrnet18": _factory(HRNet, width=18),
+    "hrnet34": _factory(HRNet, width=34),
+    "hrnet48": _factory(HRNet, width=48),
+    # --- DoubleU-Nets (doubleunet.py:177-187, dbunet.py) ---
+    "resnet50_doubleunet": _factory(DoubleUnet, encoder_name="resnet50"),
+    "efficientnetb2_doubleunet": _factory(DoubleUnet, encoder_name="efficientnet-b2"),
+    "mobilenetv3_doubleunet": _factory(DoubleUnet, encoder_name="mobilenetv3"),
+    "vgg_doubleunet": _factory(DoubleUnet, encoder_name="vgg"),
+    # --- UneXt50 (unet.py:99+, mymodel.py) ---
+    "unet_resnext50_ssl": _factory(UneXt50),
+    # --- recurrent / spatial-attention (rcnn_unet.py, sa_unet.py) ---
     "rrcnn_unet": _factory(R2UNet),
     "sa_unet": _factory(SAUnet),
     "classic_unet": _factory(ClassicUNet),
+    # --- HED family (hed.py:267+) ---
+    "hed_unet": _factory(HEDUNet, block="double"),
+    "hed_resunet": _factory(HEDUNet, block="res"),
+    "hed_denseunet": _factory(HEDUNet, block="dense"),
+    # --- FPN family (fpn.py:132-171) ---
+    "b2_fpn_cat": _factory(FPN, encoder_name="efficientnet-b2", fpn_channels=128),
+    "resnet34_fpncat128": _factory(FPN, encoder_name="resnet34", fpn_channels=128),
+    "seresnext50_fpncat128": _factory(FPN, encoder_name="seresnext50", fpn_channels=128),
+    "resnet152_fpncat256": _factory(FPN, encoder_name="resnet152", fpn_channels=256),
+    # --- DeepLab (deeplab.py:47-53 + deep_supdeeplabv3plus.py) ---
+    "resnet34_deeplab128": _factory(DeepLabV3Plus, encoder_name="resnet34"),
+    "deeplabv3plus_deepsup": _factory(DeepLabV3Plus),
+    "seresnext101_deeplab256": _factory(DeepLabV3Plus, encoder_name="seresnext101"),
+    # --- TransUNet family (transunet.py:519-546, transunetv2.py) ---
+    "transunet_r50": _factory(TransUnet, hybrid=True),
+    "transunet_b16": _factory(TransUnet, hybrid=False),
+    "TransUnet_V2": _factory(TransUnet, hybrid=False, depth=2, hidden=128),
+    # --- UNet3+ (unet3plus.py:553-556) ---
+    "Unet3Plus_Base": _factory(UNet3Plus),
+    "Unet3Plus_DS": _factory(UNet3Plus, deep_supervision=True),
+    # --- classic implementations (LeeJunHyun_impl.py:139-446) ---
+    "LeeJunHyun_impl_att": _factory(AttUNet),
+    "LeeJunHyun_impl_R2U_Net": _factory(R2UNet),
+    "LeeJunHyun_impl_R2AttU_Net": _factory(R2AttUNet),
+    # --- MedT axial family (axial_attentionunet.py:668-683) ---
+    "axialatt_unet": _factory(ResAxialAttentionUNet, gated=False),
+    "gated": _factory(ResAxialAttentionUNet, gated=True),
+    "medt": _factory(MedT),
+    "logo": _factory(MedT, patch_grid=2),
+    "axialattwopo_unet": _factory(ResAxialAttentionUNet, gated=False, use_pos=False),
+    # --- DC-UNet / ResUNet++ (dcunet.py, resunetplusplus.py) ---
+    "dcunet": _factory(DcUnet),
+    "resunetplusplus": _factory(ResUnetPlusPlus),
+    # --- HuBMAP (hubmap_kaggle.py:113-241) ---
+    "hubmap_kaggle": _factory(UnetSEResNext101),
+    # --- transformer-star (segformerstar.py, swinformerstar.py) ---
+    "SegFormerStar": _factory(SegformerStar),
+    "SwinformerStar": _factory(SwinformerStar),
 }
 
 

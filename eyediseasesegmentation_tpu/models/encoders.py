@@ -181,6 +181,29 @@ class BoTSER50Encoder(nn.Module):
         return feats
 
 
+class SwinPyramidEncoder(nn.Module):
+    """Swin backbone adapted to the 6-level pyramid interface the U-Net
+    decoders expect: a conv stem supplies the /2 skip, the Swin stages supply
+    /4../32 (used by swin_tiny/swin_small attention-UNets,
+    reference attentionunet.py:223-250)."""
+
+    variant: str = "swin_tiny"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .transformers import SwinTransformer
+
+        stem = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME",
+                       use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="stem")(x)
+        stem = BatchNorm(dtype=self.dtype, name="stem_bn")(stem, train)
+        stem = nn.relu(stem)
+        feats = SwinTransformer(self.variant, dtype=self.dtype,
+                                name="swin")(x, train)
+        return [x, stem] + feats
+
+
 # --- encoder registry -------------------------------------------------------
 
 ENCODER_CONFIGS = {
@@ -215,5 +238,27 @@ def get_encoder(name: str, base_dim: int = 32, frozen_bn: bool = False,
         enc = ResNetEncoder(frozen_bn=frozen_bn, dtype=dtype, name=module_name,
                             **RESNET_CONFIGS[name])
         return enc, enc.out_channels
+    if name in ("efficientnet-b0", "efficientnet-b2", "efficientnet-b4"):
+        from .effnet import EfficientNetEncoder, _round_filters, _EFFNET_SCALE
+        variant = name.split("-")[1]
+        enc = EfficientNetEncoder(variant=variant, dtype=dtype, name=module_name)
+        w = _EFFNET_SCALE[variant][0]
+        # /2 feature is stage0's output (pre-downsample append)
+        chans = [3] + [_round_filters(c, w) for c in (16, 24, 40, 112, 320)]
+        return enc, chans
+    if name == "mobilenetv3":
+        from .effnet import MobileNetV3Encoder
+        return (MobileNetV3Encoder(dtype=dtype, name=module_name),
+                [3, 16, 24, 40, 112, 160])
+    if name == "densenet121":
+        from .effnet import DenseNetEncoder
+        return (DenseNetEncoder(dtype=dtype, name=module_name),
+                [3, 64, 256, 512, 1024, 1024])
+    if name in ("swin_tiny", "swin_small"):
+        enc = SwinPyramidEncoder(variant=name, dtype=dtype, name=module_name)
+        from .transformers import SWIN_CONFIGS
+        dims = SWIN_CONFIGS[name]["dims"]
+        return enc, [3, 64] + list(dims)
     raise KeyError(f"Unknown encoder '{name}'. Options: "
-                   f"{sorted(ENCODER_CONFIGS) + sorted(RESNET_CONFIGS)}")
+                   f"{sorted(ENCODER_CONFIGS) + sorted(RESNET_CONFIGS)} + "
+                   f"efficientnet-b0/b2/b4, mobilenetv3, densenet121")

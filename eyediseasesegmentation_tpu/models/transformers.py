@@ -1,0 +1,496 @@
+"""Transformer segmentation families: Segformer-star, Swinformer-star, TransUNet.
+
+Parity targets:
+* ``SegformerStar`` (reference segformerstar.py) — MixVisionTransformer encoder
+  (overlapped patch embedding, spatial-reduction attention, Mix-FFN; mit_b0/b1/b2
+  depth configs, l.350-398) + the "star" decoder: CBAM decode blocks and an
+  attention-merged hypercolumn (5 per-scale prediction heads weighted by a
+  softmax over 5 query heads, l.553-606), deep supervision [s4..s1] and a
+  LayerNorm-MLP classification head (l.608-619).
+* ``SwinformerStar`` (swinformerstar.py) — the same star decoder on a Swin
+  backbone (windowed MSA with relative position bias + shifted windows,
+  modules/swin_transformer.py).
+* ``TransUnet`` (transunet.py) — ViT bottleneck encoder (optionally hybrid with
+  a ResNet feature pyramid) + cascaded upsampling decoder; factories
+  TransUnet_B16 / TransUnet_R50 (l.519-546).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .encoders import ResNetEncoder
+from .modules.layers import (BatchNorm, CBAM, ConvBNReLU, SegmentationHead,
+                             upsample2x)
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# MixVisionTransformer (Segformer) encoder
+# ---------------------------------------------------------------------------
+
+class OverlapPatchEmbed(nn.Module):
+    features: int
+    patch: int = 7
+    stride: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.patch, self.patch),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        n, h, w, c = x.shape
+        x = nn.LayerNorm(dtype=self.dtype)(x.reshape(n, h * w, c))
+        return x, (h, w)
+
+
+class SRAttention(nn.Module):
+    """Efficient self-attention with spatial reduction (Segformer)."""
+
+    features: int
+    heads: int
+    sr_ratio: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw):
+        n, L, c = x.shape
+        h, w = hw
+        head_dim = self.features // self.heads
+        q = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        kv_in = x
+        if self.sr_ratio > 1:
+            r = self.sr_ratio
+            kv_in = x.reshape(n, h, w, c)
+            kv_in = nn.Conv(self.features, (r, r), strides=(r, r),
+                            dtype=self.dtype, param_dtype=jnp.float32)(kv_in)
+            kv_in = kv_in.reshape(n, -1, self.features)
+            kv_in = nn.LayerNorm(dtype=self.dtype)(kv_in)
+        k = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32)(kv_in)
+        v = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32)(kv_in)
+
+        def split(t):
+            return t.reshape(n, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(head_dim)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, L, self.features)
+        return nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32)(out)
+
+
+class MixFFN(nn.Module):
+    """FFN with a 3×3 depthwise conv between the dense layers (Mix-FFN)."""
+
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw):
+        n, L, c = x.shape
+        h, w = hw
+        y = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y2 = y.reshape(n, h, w, self.hidden)
+        y2 = nn.Conv(self.hidden, (3, 3), padding="SAME",
+                     feature_group_count=self.hidden, dtype=self.dtype,
+                     param_dtype=jnp.float32)(y2)
+        y = jax.nn.gelu(y2.reshape(n, L, self.hidden))
+        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(y)
+
+
+class MixViTBlock(nn.Module):
+    features: int
+    heads: int
+    sr_ratio: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw):
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        x = x + SRAttention(self.features, self.heads, self.sr_ratio,
+                            dtype=self.dtype)(y, hw)
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        return x + MixFFN(self.features * self.mlp_ratio, dtype=self.dtype)(y, hw)
+
+
+MIT_CONFIGS = {
+    # dims / heads / depths / sr_ratios of mit_b0-b2 (segformerstar.py:350-398)
+    "mit_b0": dict(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
+    "mit_b1": dict(dims=(64, 128, 320, 512), depths=(2, 2, 2, 2)),
+    "mit_b2": dict(dims=(64, 128, 320, 512), depths=(3, 4, 6, 3)),
+}
+MIT_HEADS = (1, 2, 5, 8)
+MIT_SR = (8, 4, 2, 1)
+
+
+class MixVisionTransformer(nn.Module):
+    variant: str = "mit_b0"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        cfg = MIT_CONFIGS[self.variant]
+        feats = []
+        for stage, (dim, depth) in enumerate(zip(cfg["dims"], cfg["depths"])):
+            patch, stride = (7, 4) if stage == 0 else (3, 2)
+            seq, (h, w) = OverlapPatchEmbed(dim, patch, stride, dtype=self.dtype,
+                                            name=f"embed{stage}")(x)
+            for i in range(depth):
+                seq = MixViTBlock(dim, MIT_HEADS[stage], MIT_SR[stage],
+                                  dtype=self.dtype,
+                                  name=f"stage{stage}_block{i}")(seq, (h, w))
+            seq = nn.LayerNorm(dtype=self.dtype, name=f"norm{stage}")(seq)
+            x = seq.reshape(seq.shape[0], h, w, dim)
+            feats.append(x)
+        return feats  # [/4, /8, /16, /32]
+
+
+# ---------------------------------------------------------------------------
+# Swin backbone
+# ---------------------------------------------------------------------------
+
+class WindowAttention(nn.Module):
+    features: int
+    heads: int
+    window: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        # x: (num_windows*B, window*window, C)
+        nW, L, c = x.shape
+        ws = self.window
+        head_dim = self.features // self.heads
+        qkv = nn.Dense(3 * self.features, dtype=self.dtype,
+                       param_dtype=jnp.float32)(x)
+        qkv = qkv.reshape(nW, L, 3, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(head_dim)
+        # relative position bias
+        table = self.param("rel_bias",
+                           nn.initializers.normal(0.02),
+                           ((2 * ws - 1) ** 2, self.heads), jnp.float32)
+        coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                      indexing="ij")).reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :] + ws - 1
+        idx = rel[0] * (2 * ws - 1) + rel[1]
+        bias = table[idx.reshape(-1)].reshape(L, L, self.heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+        if mask is not None:
+            nWin = mask.shape[0]
+            attn = attn.reshape(nW // nWin, nWin, self.heads, L, L)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(nW, self.heads, L, L)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(nW, L, self.features)
+        return nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32)(out)
+
+
+def _window_partition(x, ws):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // ws, ws, w // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def _window_reverse(windows, ws, h, w):
+    n = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(n, h // ws, w // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h, w, -1)
+
+
+class SwinBlock(nn.Module):
+    features: int
+    heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        # static-shape-friendly window: largest common divisor of (h, w) that
+        # is <= the nominal window (the reference pads to window multiples
+        # instead; snapping keeps shapes static without pad/mask bookkeeping)
+        ws = 1
+        for d in range(1, min(self.window, h, w) + 1):
+            if h % d == 0 and w % d == 0:
+                ws = d
+        shift = (self.shift if (self.shift and ws < min(h, w) and ws > 2)
+                 else 0)
+        shift = min(shift, ws - 1) if shift else 0
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            # attention mask separating rolled-over regions
+            img_mask = np.zeros((1, h, w, 1), np.float32)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                    img_mask[:, hs, wsl, :] = cnt
+                    cnt += 1
+            mw = _window_partition(jnp.asarray(img_mask), ws)[..., 0]
+            mask = jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
+        else:
+            mask = None
+        windows = _window_partition(y, ws)
+        att = WindowAttention(self.features, self.heads, ws,
+                              dtype=self.dtype)(windows, mask)
+        y = _window_reverse(att, ws, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(self.features * self.mlp_ratio, dtype=self.dtype,
+                     param_dtype=jnp.float32)(y)
+        y = jax.nn.gelu(y)
+        y = nn.Dense(self.features, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        return x + y
+
+
+SWIN_CONFIGS = {
+    "swin_tiny": dict(dims=(96, 192, 384, 768), depths=(2, 2, 6, 2),
+                      heads=(3, 6, 12, 24)),
+    "swin_small": dict(dims=(96, 192, 384, 768), depths=(2, 2, 18, 2),
+                       heads=(3, 6, 12, 24)),
+}
+
+
+class SwinTransformer(nn.Module):
+    """Swin backbone returning the 4-level pyramid [/4, /8, /16, /32]
+    (modules/swin_transformer.py)."""
+
+    variant: str = "swin_tiny"
+    window: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        cfg = SWIN_CONFIGS[self.variant]
+        n = x.shape[0]
+        # patch embedding /4
+        x = nn.Conv(cfg["dims"][0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        feats = []
+        for stage, (dim, depth, heads) in enumerate(zip(cfg["dims"],
+                                                        cfg["depths"],
+                                                        cfg["heads"])):
+            if stage > 0:  # patch merging: 2x2 -> linear
+                nh, hh, ww, cc = x.shape
+                x = x.reshape(nh, hh // 2, 2, ww // 2, 2, cc)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(nh, hh // 2, ww // 2, 4 * cc)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
+                x = nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+            for i in range(depth):
+                x = SwinBlock(dim, heads, self.window,
+                              shift=0 if i % 2 == 0 else self.window // 2,
+                              dtype=self.dtype,
+                              name=f"stage{stage}_block{i}")(x)
+            feats.append(x)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# Star decoder (segformerstar.py:400-619) shared by both *Star models
+# ---------------------------------------------------------------------------
+
+class StarDecoder(nn.Module):
+    """CBAM decode blocks + attention-merged hypercolumn over 5 scales."""
+
+    center_channels: int = 512
+    decoder_channels: int = 64
+    classes: int = 1
+    deep_supervision: bool = False
+    clf_head: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], out_hw: Tuple[int, int],
+                 train: bool = False):
+        x1, x2, x3, x4 = feats  # /4, /8, /16, /32
+        dc = self.decoder_channels
+
+        clf = None
+        if self.clf_head:
+            s = jnp.mean(x4, axis=(1, 2))
+            s = nn.LayerNorm(dtype=self.dtype)(s)
+            s = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32)(s)
+            s = jax.nn.elu(s)
+            s = nn.LayerNorm(dtype=self.dtype)(s)
+            clf = nn.Dense(self.classes, dtype=self.dtype,
+                           param_dtype=jnp.float32)(s).astype(jnp.float32)
+
+        def decode(name, x, up=True):
+            y = ConvBNReLU(dc, 3, drop_block_prob=0.0, dtype=self.dtype,
+                           name=f"{name}_conv")(x, train)
+            y = CBAM(dtype=self.dtype, name=f"{name}_cbam")(y)
+            return upsample2x(y) if up else y
+
+        y5 = decode("center", x4, up=False)
+        y4 = decode("dec4", jnp.concatenate([x4, y5], -1))            # /16
+        y3 = decode("dec3", jnp.concatenate([x3, y4], -1))            # /8
+        y2 = decode("dec2", jnp.concatenate([x2, y3], -1))            # /4
+        y1 = decode("dec1", jnp.concatenate([x1, y2], -1))            # /2
+        y0 = decode("dec0", y1)                                        # /1
+
+        def up_to(y, hw):
+            n, h, w, c = y.shape
+            if (h, w) == tuple(hw):
+                return y
+            return jax.image.resize(y, (n, hw[0], hw[1], c), "bilinear")
+
+        ups = [up_to(t, out_hw) for t in (y0, y1, y2, y3, y4)]
+        preds = [nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"deep{i}")(u)
+                 for i, u in enumerate(ups)]
+        queries = [nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                           param_dtype=jnp.float32, name=f"que{i}")(u)
+                   for i, u in enumerate(ups)]
+        p = jnp.stack(preds, axis=1).astype(jnp.float32)    # (B, 5, H, W, C)
+        q = jnp.stack(queries, axis=1).astype(jnp.float32)
+        attn = jax.nn.softmax(q, axis=1)
+        combined = jnp.sum(attn * p, axis=1)
+
+        if self.deep_supervision:
+            deeps = [preds[4], preds[3], preds[2], preds[1]]  # [s4..s1]
+            deeps = [d.astype(jnp.float32) for d in deeps]
+            return (combined, deeps, clf) if self.clf_head else (combined, deeps)
+        return (combined, clf) if self.clf_head else combined
+
+
+class SegformerStar(nn.Module):
+    """MixViT encoder + star decoder (reference segformerstar.py)."""
+
+    encoder_name: str = "mit_b0"
+    classes: int = 1
+    deep_supervision: bool = False
+    clf_head: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = MixVisionTransformer(self.encoder_name, dtype=self.dtype,
+                                     name="encoder")(x, train)
+        return StarDecoder(classes=self.classes,
+                           deep_supervision=self.deep_supervision,
+                           clf_head=self.clf_head, dtype=self.dtype,
+                           name="decoder")(feats, x.shape[1:3], train)
+
+
+class SwinformerStar(nn.Module):
+    """Swin backbone + star decoder (reference swinformerstar.py)."""
+
+    encoder_name: str = "swin_tiny"
+    classes: int = 1
+    deep_supervision: bool = False
+    clf_head: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = SwinTransformer(self.encoder_name, dtype=self.dtype,
+                                name="encoder")(x, train)
+        return StarDecoder(classes=self.classes,
+                           deep_supervision=self.deep_supervision,
+                           clf_head=self.clf_head, dtype=self.dtype,
+                           name="decoder")(feats, x.shape[1:3], train)
+
+
+# ---------------------------------------------------------------------------
+# TransUNet
+# ---------------------------------------------------------------------------
+
+class ViTBlock(nn.Module):
+    features: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, L, c = x.shape
+        head_dim = self.features // self.heads
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        qkv = nn.Dense(3 * self.features, dtype=self.dtype,
+                       param_dtype=jnp.float32)(y)
+        qkv = qkv.reshape(n, L, 3, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(head_dim)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        o = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        o = o.transpose(0, 2, 1, 3).reshape(n, L, self.features)
+        x = x + nn.Dense(self.features, dtype=self.dtype,
+                         param_dtype=jnp.float32)(o)
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(self.features * self.mlp_ratio, dtype=self.dtype,
+                     param_dtype=jnp.float32)(y)
+        y = jax.nn.gelu(y)
+        return x + nn.Dense(self.features, dtype=self.dtype,
+                            param_dtype=jnp.float32)(y)
+
+
+class TransUnet(nn.Module):
+    """ViT bottleneck + cascaded upsampler (reference transunet.py).
+
+    ``hybrid=True`` (TransUnet_R50): a ResNet50 trunk provides the /2,/4,/8
+    skip features and the ViT runs on its /16 feature map; ``hybrid=False``
+    (TransUnet_B16): pure patch embedding, no skips.
+    """
+
+    hidden: int = 256
+    depth: int = 4
+    heads: int = 8
+    hybrid: bool = True
+    decoder_channels: Sequence[int] = (256, 128, 64, 16)
+    classes: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, H, W, _ = x.shape
+        skips = []
+        if self.hybrid:
+            trunk = ResNetEncoder(stage_sizes=(3, 4, 6, 3), block="bottleneck",
+                                  num_stages=3, dtype=self.dtype, name="trunk")
+            feats = trunk(x, train)  # [x, /2, /4, /8, /16]
+            skips = [feats[3], feats[2], feats[1]]  # /8, /4, /2
+            y = feats[4]
+            y = nn.Conv(self.hidden, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="patch_proj")(y)
+        else:
+            y = nn.Conv(self.hidden, (16, 16), strides=(16, 16),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="patch_embed")(x)
+        nh, hh, ww, c = y.shape
+        seq = y.reshape(nh, hh * ww, c)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, hh * ww, c), jnp.float32)
+        seq = seq + pos.astype(seq.dtype)
+        for i in range(self.depth):
+            seq = ViTBlock(self.hidden, self.heads, dtype=self.dtype,
+                           name=f"vit{i}")(seq)
+        seq = nn.LayerNorm(dtype=self.dtype)(seq)
+        y = seq.reshape(nh, hh, ww, c)
+
+        for i, ch in enumerate(self.decoder_channels):
+            y = upsample2x(y)
+            if i < len(skips):
+                y = jnp.concatenate([y, skips[i]], axis=-1)
+            y = ConvBNReLU(ch, 3, drop_block_prob=0.0, dtype=self.dtype,
+                           name=f"dec{i}")(y, train)
+        if y.shape[1] != H:
+            y = jax.image.resize(y, (n, H, W, y.shape[-1]), "bilinear")
+        return SegmentationHead(self.classes, dtype=self.dtype,
+                                name="segmentation_head")(y)
