@@ -40,8 +40,8 @@ class GatedAxialAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        H = self.heads
-        dh = self.in_channels // H
+        H = max(min(self.heads, self.in_channels // 2), 1)
+        dh = max(self.in_channels // H, 1)
         dq = max(dh // 2, 4)
         b, L, C = x.shape
         qkv = nn.Dense(H * (2 * dq + dh), use_bias=False, dtype=self.dtype,
