@@ -43,6 +43,37 @@ def overlay_mask_image(image: np.ndarray, gt: np.ndarray, pred: np.ndarray,
     return out
 
 
+def visualize_augmentations(image: np.ndarray, mask: np.ndarray,
+                            transform, out_path: Path, n: int = 9,
+                            seed: int = 0) -> Path:
+    """Render an n-panel grid of augmented (image|mask) samples — the visual
+    smoke check of the augmentation policy (reference src/data/test.py:46-67
+    writes test.jpg)."""
+    import jax
+    import jax.numpy as jnp
+
+    cols = int(np.ceil(np.sqrt(n)))
+    panels = []
+    key = jax.random.PRNGKey(seed)
+    for i in range(n):
+        img_a, mask_a = transform.train(jax.random.fold_in(key, i),
+                                        jnp.asarray(image, jnp.float32),
+                                        jnp.asarray(mask, jnp.float32))
+        img_np = np.asarray(img_a)
+        img_np = (img_np - img_np.min()) / max(img_np.max() - img_np.min(), 1e-6)
+        m_np = np.asarray(mask_a)
+        panels.append(overlay_image_mask((img_np * 255).astype(np.uint8), m_np))
+    h, w = panels[0].shape[:2]
+    grid = np.zeros((cols * h, cols * w, 3), np.uint8)
+    for i, p in enumerate(panels):
+        r, c = divmod(i, cols)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = p
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(grid).save(out_path)
+    return out_path
+
+
 def show_examples(name: str, image: np.ndarray, mask: np.ndarray,
                   out_dir: Path) -> Path:
     """Save an image|mask side-by-side panel (reference show_examples)."""

@@ -1,5 +1,7 @@
 from .layers import (
     ConvBNReLU,
+    Conv2d,
+    DepthwiseSeparableConv2d,
     DropBlock2d,
     SegmentationHead,
     ClassificationHead,
@@ -21,7 +23,8 @@ from .axial import (
 )
 
 __all__ = [
-    "ConvBNReLU", "DropBlock2d", "SegmentationHead", "ClassificationHead",
+    "ConvBNReLU", "Conv2d", "DepthwiseSeparableConv2d",
+    "DropBlock2d", "SegmentationHead", "ClassificationHead",
     "SCSEAttention", "Attention", "SEBlock", "CBAMSpatial", "CBAMChannel", "CBAM",
     "AttentionGate", "ASPP", "DoubleConv",
     "RelativePosEnc2D", "AxialAttention", "CrossAxialAttention", "AxialAttentionBlock",

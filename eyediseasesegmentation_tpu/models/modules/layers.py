@@ -297,6 +297,25 @@ class ASPP(nn.Module):
         return ConvBNReLU(self.features, 1, drop_block_prob=0.0, dtype=self.dtype)(y, train)
 
 
+class DepthwiseSeparableConv2d(nn.Module):
+    """Depthwise + pointwise conv (reference dsconv.py:6-24)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = nn.Conv(c, (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides), padding="SAME",
+                    feature_group_count=c, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="depthwise")(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="pointwise")(y)
+
+
 class DoubleConv(nn.Module):
     """(conv-BN-ReLU) ×2 — classic U-Net primitive (reference common.py:1-77)."""
 

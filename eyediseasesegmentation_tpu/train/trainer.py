@@ -103,6 +103,7 @@ class Trainer:
                                       pos_weights=cfg.get("pos_weights") or [1.0])
                            if self.deep_supervision else None)
         self.ds_weight = float(cfg.get("ds_weight", 1.0))
+        self.clf_weight = float(cfg.get("clf_weight", 1.0))
         mesh_shape = cfg.get("mesh_shape")
         if not mesh_shape:
             # default: as much data parallelism as the batch size divides into
@@ -134,13 +135,21 @@ class Trainer:
             else:
                 out = model.apply(variables, images, **kwargs)
                 updates = {"batch_stats": batch_stats}
-            final, ds, _clf = _model_outputs(out)
+            final, ds, clf = _model_outputs(out)
             m4 = masks[..., None] if masks.ndim == 3 else masks
             total, parts = loss_fn(final.astype(jnp.float32), m4)
             if deep_supervision and ds is not None:
                 for d in ds:
                     pyr = _adaptive_avg_pool(m4, (d.shape[1], d.shape[2]))
                     total = total + ds_weight * ds_loss_fn(d.astype(jnp.float32), pyr)
+            if clf is not None:
+                # per-patch classification target = mask non-empty — the
+                # clf-head training variant (reference lesion_dataset_tmp.py:
+                # 85-91 + train_tmp.py)
+                label = (jnp.sum(m4, axis=(1, 2, 3)) > 0).astype(jnp.float32)
+                clf_loss = L.soft_bce_with_logits(clf.reshape(-1), label)
+                parts = {**parts, "clf": clf_loss}
+                total = total + self.clf_weight * clf_loss
             probs = jax.nn.sigmoid(final.astype(jnp.float32))
             return total, (updates["batch_stats"], parts, probs, m4)
 

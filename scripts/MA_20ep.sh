@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Launch a MA lesion experiment for 20 epochs (reference script/MA_20ep.sh).
+# On TPU there is no CUDA_VISIBLE_DEVICES: the mesh uses all local chips.
+set -e
+cd "$(dirname "$0")/.."
+cat > /tmp/eds_MA_20.json <<JSON
+{"lesion_type": "MA", "num_epochs": 20}
+JSON
+python pipeline.py --tta d4 --best true --config /tmp/eds_MA_20.json
