@@ -25,7 +25,7 @@ def main():
 
     scale_size = 1024
     ori_h, ori_w = 2848, 4288  # IDRiD native resolution
-    batch = 1
+    batch = 1  # batch=2 (16 views) is ~7% faster but exceeds HBM on this chip
     warmup, iters = 2, 8
 
     model = zoo.get_model(
@@ -56,7 +56,7 @@ def main():
     device_batches = [
         jax.device_put(jnp.asarray(
             rng_np.rand(batch, ori_h, ori_w, 3).astype(np.float32) * 255))
-        for _ in range(4)
+        for _ in range(2)
     ]
 
     for _ in range(warmup):
