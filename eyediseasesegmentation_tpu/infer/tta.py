@@ -106,6 +106,9 @@ class TTAPredictor:
     ori_hw: Optional[Tuple[int, int]] = None
     resize: bool = True  # False: vessel mode — images pre-padded, no resize
                          # (reference tta_vessel.py:76)
+    mesh: Optional[Any] = None  # jax Mesh: shard the fused view batch over
+                                # 'data' (d4's 8 views map onto 8 chips; the
+                                # mean is a psum XLA inserts)
 
     def __post_init__(self):
         cfg = self.config
@@ -115,6 +118,9 @@ class TTAPredictor:
         transform_cls = get_transform("normal")
         self.transform = transform_cls(image_size=self.scale_size,
                                        preprocessing_fn=prep_fn)
+        if self.mesh is not None:
+            from ..parallel import replicate
+            self.variables = replicate(self.variables, self.mesh)
         self._predict_jit = jax.jit(self._predict)
 
     def _forward(self, images):
@@ -142,7 +148,13 @@ class TTAPredictor:
         make_views, inverse, V = TTA_FAMILIES[self.tta]
         views = make_views(imgs)  # (V, B, S, S, C)
         v, b, h, w, c = views.shape
-        probs = self._forward(views.reshape(v * b, h, w, c))
+        flat = views.reshape(v * b, h, w, c)
+        if self.mesh is not None:
+            # multi-chip TTA: the fused view batch shards over 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            flat = jax.lax.with_sharding_constraint(
+                flat, NamedSharding(self.mesh, P("data", None, None, None)))
+        probs = self._forward(flat)
         probs = inverse(probs.reshape(v, b, h, w)[..., None])[..., 0]
         return jnp.mean(probs, axis=0)
 

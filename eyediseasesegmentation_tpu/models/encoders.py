@@ -36,10 +36,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         bn = lambda name: BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name=name)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x)
         y = nn.relu(bn("bn1")(y, train))
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
         y = bn("bn2")(y, train)
         if self.use_se:
@@ -70,7 +70,8 @@ class Bottleneck(nn.Module):
                     param_dtype=jnp.float32, name="conv1")(x)
         y = nn.relu(bn("bn1")(y, train))
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, feature_group_count=self.groups,
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    feature_group_count=self.groups,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
         y = nn.relu(bn("bn2")(y, train))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
