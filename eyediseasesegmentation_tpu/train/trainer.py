@@ -188,7 +188,14 @@ class Trainer:
             pred = (probs > 0.5).astype(jnp.float32) * vmask
             true = (tm > 0.5).astype(jnp.float32) * vmask
             inter = jnp.sum(pred * true)
+            # per-threshold PR counts for the val AUC-PR metric — the role of
+            # the reference's distributed AucPRMetricCallback (util/
+            # aucpr_cb.py:15-65): here the batch is already sharded and XLA
+            # inserts the cross-device reduction
+            tp, ap, pp, _ = M.threshold_sweep(
+                probs, tm, valid_mask=jnp.broadcast_to(vmask, probs.shape))
             return {"inter": inter, "pred": jnp.sum(pred), "true": jnp.sum(true),
+                    "tp": tp, "ap": ap, "pp": pp,
                     "loss": loss_and_metrics(state.params, state.batch_stats,
                                              images, tm, jax.random.PRNGKey(0),
                                              False)[0]}
@@ -285,6 +292,8 @@ class Trainer:
 
             # ---- validate ----
             inter = pred = true = 0.0
+            tp = np.zeros(len(M.THRESH_LIST)); ap = np.zeros_like(tp)
+            pp = np.zeros_like(tp)
             vlosses = []
             for batch in batch_iterator(valid_ds, batch_size, shuffle=False):
                 r = self._eval_step(state, jnp.asarray(batch["image"]),
@@ -292,10 +301,16 @@ class Trainer:
                                     jnp.asarray(batch["n_valid"]))
                 inter += float(r["inter"]); pred += float(r["pred"])
                 true += float(r["true"]); vlosses.append(float(r["loss"]))
+                tp += np.asarray(r["tp"]); ap += np.asarray(r["ap"])
+                pp += np.asarray(r["pp"])
             eps = 1e-7
             val_dice = (2 * inter + eps) / (pred + true + eps)
             val_iou = (inter + eps) / (pred + true - inter + eps)
+            sn = (tp + eps) / (ap + eps)
+            ppv = (tp + eps) / (pp + eps)
+            val_aucpr = float(np.trapezoid(ppv[::-1], sn[::-1]))
             val_metrics = {"dice": val_dice, "iou": val_iou,
+                           "aucpr": val_aucpr,
                            "loss": float(np.mean(vlosses)) if vlosses else 0.0}
 
             # ---- schedule / select / stop ----

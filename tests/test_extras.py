@@ -31,6 +31,31 @@ def test_clf_head_training_adds_loss(tmp_path):
     assert np.isfinite(float(m["loss_clf"]))
 
 
+def test_val_aucpr_metric(tmp_path):
+    """metric='aucpr' selects checkpoints on the on-device PR sweep (the
+    reference's disabled AucPRMetricCallback role, util/aucpr_cb.py:15-65)."""
+    import json
+    from eyediseasesegmentation_tpu.data.synthetic import make_idrid_tree
+    from eyediseasesegmentation_tpu.train import train_model
+
+    make_idrid_tree(tmp_path / "d", lesion_type="EX", n_train=4, n_test=2,
+                    size=(32, 32))
+    cfg = {
+        "train_img_path": str(tmp_path / "d" / "train" / "image"),
+        "train_mask_path": str(tmp_path / "d" / "train" / "mask"),
+        "dataset_name": "IDRiD", "lesion_type": "EX", "augmentation": "normal",
+        "scale_size": 32, "num_epochs": 1, "batch_size": 2, "val_size": 0.3,
+        "is_fp16": False, "model_name": "classic_unet",
+        "model_params": {"filters": (8, 16)}, "criterion": {"bce": 1.0},
+        "pos_weights": [1.0], "metric": "aucpr", "mode": "max",
+    }
+    logdir = train_model("aucpr_exp", cfg, seed=0,
+                         models_root=str(tmp_path / "m"))
+    rows = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
+    assert "val_aucpr" in rows[0]
+    assert 0.0 <= rows[0]["val_aucpr"] <= 1.0 + 1e-6
+
+
 def test_visualize_augmentations(tmp_path):
     from eyediseasesegmentation_tpu.analysis.visualize import visualize_augmentations
     from eyediseasesegmentation_tpu.data import get_transform
