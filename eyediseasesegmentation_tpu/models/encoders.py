@@ -174,7 +174,11 @@ class BoTSER50Encoder(nn.Module):
             y = shared_block(y, train)
             y = shared_block(y, train)  # second call: same instance => shared params
         else:
-            # BoT (MHSA) fallback: one stride-2 bottleneck stage without SE
+            # 'BoTSER50_Imagenet' (use_axial=False): the reference's else
+            # branch is dead code — it references `first_block`, defined only
+            # under use_axial, so constructing it raises NameError
+            # (unetplusplusstar.py:311-328). We substitute a working stride-2
+            # SE-bottleneck stage.
             for i in range(3):
                 y = Bottleneck(512, strides=2 if i == 0 else 1, use_se=True,
                                dtype=self.dtype, name=f"layer4_block{i}")(y, train)
