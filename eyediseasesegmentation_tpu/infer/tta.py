@@ -30,8 +30,7 @@ from ..data.datasets import batch_iterator
 from ..ops import image as I
 from ..ops import metrics as M
 from ..train.checkpoint import load_checkpoint
-from ..utils import make_grid, save_output
-from ..utils.grid import make_grid as _make_grid
+from ..utils import make_grid as _make_grid, save_output
 
 logger = logging.getLogger("eyediseasesegmentation_tpu")
 
