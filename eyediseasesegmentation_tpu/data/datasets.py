@@ -156,6 +156,37 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
         yield batch
 
 
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetching: overlap host-side decode/stacking with
+    device compute (the role of torch DataLoader workers — the reference
+    actually ran with num_workers=0, i.e. inline; train.py:218)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    error = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
 def train_val_split(items_a: Sequence, items_b: Sequence, val_size: float = 0.2,
                     seed: int = 1999):
     """Deterministic split matching sklearn train_test_split(random_state=seed)

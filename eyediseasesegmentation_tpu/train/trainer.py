@@ -35,6 +35,7 @@ from .. import models as zoo
 from ..config import BaseConfig
 from ..data import (OneLesionSegmentation, batch_iterator, get_datapath,
                     get_transform)
+from ..data.datasets import prefetch
 from ..data.datasets import train_val_split
 from ..ops import losses as L
 from ..ops import metrics as M
@@ -277,8 +278,9 @@ class Trainer:
             t0 = time.time()
             # ---- train ----
             train_metrics = []
-            for batch in batch_iterator(train_ds, batch_size, shuffle=True,
-                                        drop_last=True, seed=self.seed + epoch):
+            for batch in prefetch(batch_iterator(train_ds, batch_size,
+                                                 shuffle=True, drop_last=True,
+                                                 seed=self.seed + epoch)):
                 if scheduler is not None and scheduler.batch_update:
                     lr = scheduler.batch_lr(global_step)
                 state, m = self._train_step(
@@ -295,7 +297,8 @@ class Trainer:
             tp = np.zeros(len(M.THRESH_LIST)); ap = np.zeros_like(tp)
             pp = np.zeros_like(tp)
             vlosses = []
-            for batch in batch_iterator(valid_ds, batch_size, shuffle=False):
+            for batch in prefetch(batch_iterator(valid_ds, batch_size,
+                                                 shuffle=False)):
                 r = self._eval_step(state, jnp.asarray(batch["image"]),
                                     jnp.asarray(batch["mask"]),
                                     jnp.asarray(batch["n_valid"]))

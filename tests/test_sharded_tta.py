@@ -19,6 +19,35 @@ def small_model():
     return model, variables
 
 
+@pytest.mark.parametrize("tta", ["multiscale", "five_crop", "ten_crop", "flip"])
+def test_all_tta_families_produce_valid_probs(small_model, tta):
+    model, variables = small_model
+    cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": 32}
+    x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32) * 255
+    p = np.asarray(TTAPredictor(model, variables, cfg, tta=tta,
+                                ori_hw=(32, 32)).predict(x))
+    assert p.shape == (1, 32, 32)
+    assert 0.0 <= p.min() and p.max() <= 1.0
+    assert p.std() > 0  # non-degenerate
+
+
+def test_flip_tta_is_view_mean(small_model):
+    """flip (4 views) equals the explicit mean of the 4 aligned predictions."""
+    from eyediseasesegmentation_tpu.ops import image as I
+    model, variables = small_model
+    cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": 32}
+    x = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32) * 255
+    fused = np.asarray(TTAPredictor(model, variables, cfg, tta="flip",
+                                    ori_hw=(32, 32)).predict(x))
+    none = TTAPredictor(model, variables, cfg, tta="none", ori_hw=(32, 32))
+    v0 = np.asarray(none.predict(x))[0]
+    v1 = np.asarray(none.predict(x[:, :, ::-1]))[0][:, ::-1]      # hflip
+    v2 = np.asarray(none.predict(x[:, ::-1]))[0][::-1]            # vflip
+    v3 = np.asarray(none.predict(x[:, ::-1, ::-1]))[0][::-1, ::-1]
+    manual = np.mean([v0, v1, v2, v3], axis=0)
+    np.testing.assert_allclose(fused[0], manual, atol=2e-3)
+
+
 def test_sharded_d4_matches_single_device(small_model):
     assert jax.device_count() == 8
     model, variables = small_model
