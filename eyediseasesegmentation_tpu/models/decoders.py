@@ -40,6 +40,9 @@ class DecoderBlock(nn.Module):
         dim = self.base_dim * (2 ** self.level)
         x_up = upsample2x(x)
         if skip is not None:
+            if self.use_catt and isinstance(skip, (list, tuple)):
+                # cross-attention path needs the actual tensor (low-res, cheap)
+                skip = jnp.concatenate(list(skip), axis=-1)
             if self.use_catt:
                 b, h, w, _ = x.shape
                 c16 = self.skip_channels // 16
@@ -78,11 +81,15 @@ class DecoderBlock(nn.Module):
                 gated = nn.Conv(self.skip_channels, (1, 1), use_bias=False,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name="up_sample")(gated)
-                x_up = jnp.concatenate([x_up, gated], axis=-1)
+                x_up = [x_up, gated]  # virtual concat (split conv, no copy)
             else:
-                x_cat = jnp.concatenate([x_up, skip], axis=-1)
+                # scse over + conv over the VIRTUAL concat: the parts are
+                # gated and convolved column-split — exactly equal to
+                # cat->attention->conv without materializing the cat
+                parts = [x_up] + (list(skip) if isinstance(skip, (list, tuple))
+                                  else [skip])
                 x_up = Attention(self.attention_type, dtype=self.dtype,
-                                 name="attention1")(x_cat)
+                                 name="attention1")(parts)
         y = ConvBNReLU(self.out_channels, 3, drop_block_prob=self.drop_block_prob,
                        dtype=self.dtype, name="conv1")(x_up, train)
         y = ConvBNReLU(self.out_channels, 3, drop_block_prob=self.drop_block_prob,
@@ -171,8 +178,10 @@ class UnetPlusPlusDecoder(nn.Module):
         for layer_idx in range(1, depth):
             for depth_idx in range(depth - layer_idx):
                 li = depth_idx + layer_idx
-                cat = [dense[f"x_{idx}_{li}"] for idx in range(depth_idx + 1, li + 1)]
-                cat = jnp.concatenate(cat + [feats[li + 1]], axis=-1)
+                # virtual concat: the block gates + convolves the parts
+                # column-split, never materializing the concatenation
+                cat = ([dense[f"x_{idx}_{li}"] for idx in range(depth_idx + 1, li + 1)]
+                       + [feats[li + 1]])
                 dense[f"x_{depth_idx}_{li}"] = make_block(depth_idx, li)(
                     dense[f"x_{depth_idx}_{li - 1}"], cat, train)
         # final no-skip block x_0_depth (l.237,259)

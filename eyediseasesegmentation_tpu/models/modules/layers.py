@@ -106,20 +106,34 @@ class Conv2d(nn.Module):
         from ...ops.fastconv import conv3x3_s2d, should_pack
 
         k = self.kernel_size
-        cin = x.shape[-1]
+        # a list input means "conv over the concat of these parts" computed
+        # WITHOUT materializing the concat: conv(cat(a,b), W) =
+        # conv(a, W_a) + conv(b, W_b) — ~20% faster on v5e and saves the
+        # concat's HBM round-trip (see PERFORMANCE.md)
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        cin = sum(p.shape[-1] for p in parts)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (k, k, cin // self.feature_group_count, self.features), jnp.float32)
-        if (k == 3 and self.strides == 1 and self.feature_group_count == 1
-                and should_pack(x.shape[1], x.shape[2], cin, self.features)):
-            y = conv3x3_s2d(x, kernel, compute_dtype=self.dtype)
+        if (len(parts) == 1 and k == 3 and self.strides == 1
+                and self.feature_group_count == 1
+                and should_pack(parts[0].shape[1], parts[0].shape[2], cin,
+                                self.features)):
+            y = conv3x3_s2d(parts[0], kernel, compute_dtype=self.dtype)
         else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=(self.strides, self.strides),
-                padding="SAME" if k > 1 else "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.feature_group_count)
+            y = None
+            offset = 0
+            for p in parts:
+                c = p.shape[-1]
+                kp = kernel if len(parts) == 1 else kernel[:, :, offset:offset + c]
+                yp = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), kp.astype(self.dtype),
+                    window_strides=(self.strides, self.strides),
+                    padding="SAME" if k > 1 else "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.feature_group_count)
+                y = yp if y is None else y + yp
+                offset += c
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -173,23 +187,55 @@ class SEBlock(nn.Module):
 
 class SCSEAttention(nn.Module):
     """Concurrent spatial & channel SE (smp md.Attention('scse'), used as the
-    decoder attention for non-cross-attention blocks, unetplusplusstar.py:122-124)."""
+    decoder attention for non-cross-attention blocks, unetplusplusstar.py:122-124).
+
+    Accepts a list input ("the concat of these parts") and then returns the
+    gated parts WITHOUT materializing the concat: the channel gate is computed
+    from the concatenated pooled means (tiny), the spatial gate's 1×1 conv
+    splits by columns, and each part is gated independently — exactly
+    scse(cat(parts)) split back into parts.
+    """
 
     reduction: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
-        # channel SE gate
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        parts = list(x) if isinstance(x, (list, tuple)) else None
+        xs = parts if parts is not None else [x]
+        c = sum(p.shape[-1] for p in xs)
+        # channel SE gate from pooled means (pooling commutes with concat)
+        s = jnp.concatenate([jnp.mean(p, axis=(1, 2), keepdims=True) for p in xs],
+                            axis=-1)
+        s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32)(s)
         s = nn.relu(s)
         s = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
-        # spatial SE gate
-        t = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
-        # x*σ(cse) + x*σ(sse) fused into one multiply (HBM-bound at 1024²)
-        return x * (jax.nn.sigmoid(s) + jax.nn.sigmoid(t))
+        # spatial SE gate: 1x1 conv over the (virtual) concat = column-split sum
+        kernel = self.param("sse_kernel", nn.initializers.lecun_normal(),
+                            (1, 1, c, 1), jnp.float32)
+        bias = self.param("sse_bias", nn.initializers.zeros, (1,), jnp.float32)
+        t = None
+        offset = 0
+        for p in xs:
+            cp = p.shape[-1]
+            tp = jax.lax.conv_general_dilated(
+                p.astype(self.dtype),
+                kernel[:, :, offset:offset + cp].astype(self.dtype),
+                (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            t = tp if t is None else t + tp
+            offset += cp
+        gate_s = jax.nn.sigmoid(t + bias.astype(t.dtype))
+        if parts is None:
+            return x * (jax.nn.sigmoid(s) + gate_s)
+        out = []
+        offset = 0
+        for p in xs:
+            cp = p.shape[-1]
+            gate_c = jax.nn.sigmoid(s[..., offset:offset + cp])
+            out.append(p * (gate_c + gate_s))
+            offset += cp
+        return out
 
 
 class Attention(nn.Module):
