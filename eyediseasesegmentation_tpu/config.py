@@ -74,6 +74,12 @@ class BaseConfig:
     optimizer: str = "adamw"
     scheduler: str = "reduce"
     resume_path: Optional[str] = None
+    # pretrained-encoder bootstrap: path to a torch .pth whose weights are
+    # imported into the encoder at init (reference keeps these under
+    # models/pretrained_models/, unetplusplusstar.py:282-284); arch is
+    # inferred from model_params.encoder_name unless encoder_arch is set
+    encoder_weights: Optional[str] = None
+    encoder_arch: Optional[str] = None
 
     # --- TPU-specific knobs (additive; absent keys default on load) ---
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8} ; None = all-data

@@ -62,6 +62,23 @@ def build_patches(images: Sequence[Path], mask_paths: Sequence[Path],
     return {"pos": pos, "neg": neg, "removed": removed}
 
 
+def read_img_mask_csv(csv_path: Path, root: Optional[Path] = None):
+    """Read an ``img_mask.csv`` patch list back into (image_paths, mask_paths).
+
+    The consumer of ``build_dataframe``'s output for tile-mode training
+    (reference train.py:77-89 reads the csv, shuffles, and rebases paths).
+    ``root``, if given, rebases relative paths (the reference strips the first
+    two path parts because of its cwd layout; here rebasing is explicit).
+    """
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    def _p(s):
+        p = Path(s)
+        return (Path(root) / p) if (root is not None and not p.is_absolute()) else p
+    return [_p(s) for s in df["img"]], [_p(s) for s in df["mask"]]
+
+
 def build_dataframe(img_dir: Path, mask_dir: Path,
                     out_csv: Optional[Path] = None) -> Path:
     """Write the img/mask pairing csv (build_patches.py:85-89)."""

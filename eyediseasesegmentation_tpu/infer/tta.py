@@ -315,12 +315,15 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any]) -> Dict[st
     prep_fn, _, _ = zoo.get_preprocessing_fn(cfg.get("dataset_name", "IDRiD"),
                                              cfg.get("gray", False))
 
+    # Each tile runs through the SAME fused TTA view batch as whole-image mode
+    # — the reference wraps the tiled model in the ttach wrapper too
+    # (tta.py:173-180); a bare forward would silently ignore --tta.
+    tta_engine = TTAPredictor(model, variables, cfg,
+                              tta=args.get("tta", "d4"), resize=False)
+
     def tile_fn(tile):
         x = prep_fn(tile)[None]
-        out = model.apply(variables, x, train=False)
-        if isinstance(out, tuple):
-            out = out[0]
-        return jax.nn.sigmoid(out.astype(jnp.float32))[0, ..., 0]
+        return tta_engine._tta_probs(x)[0]
 
     first = ds[0]
     h0, w0 = first["ori_h"], first["ori_w"]

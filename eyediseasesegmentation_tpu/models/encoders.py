@@ -53,11 +53,12 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    features: int  # inner width; output = 4x
+    features: int  # inner width; output = out_features or 4x
     strides: int = 1
     groups: int = 1
     use_se: bool = False
     frozen_bn: bool = False
+    out_features: int = 0  # 0 => features * expansion
     dtype: Dtype = jnp.float32
 
     expansion: int = 4
@@ -65,7 +66,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = lambda name: BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name=name)
-        out_ch = self.features * self.expansion
+        out_ch = self.out_features or self.features * self.expansion
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x)
         y = nn.relu(bn("bn1")(y, train))
@@ -97,6 +98,10 @@ class ResNetEncoder(nn.Module):
     stem_width: int = 64
     num_stages: int = 4
     frozen_bn: bool = False
+    # bottleneck inner width multiplier: 1.0 for ResNet, 2.0 for the
+    # ResNeXt-32x4d family (torch width = planes*(4/64)*32 = 2*planes) —
+    # required for pretrained se_resnext weight import to be shape-exact
+    width_factor: float = 1.0
     dtype: Dtype = jnp.float32
 
     @property
@@ -122,13 +127,15 @@ class ResNetEncoder(nn.Module):
 
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
         for stage, n_blocks in enumerate(self.stage_sizes[: self.num_stages]):
-            width = self.stem_width * (2 ** stage)
+            planes = self.stem_width * (2 ** stage)
+            width = int(planes * self.width_factor)
             for i in range(n_blocks):
                 strides = 2 if (i == 0 and stage > 0) else 1
                 kwargs = dict(use_se=self.use_se, frozen_bn=self.frozen_bn,
                               dtype=self.dtype)
                 if block_cls is Bottleneck:
                     kwargs["groups"] = self.groups
+                    kwargs["out_features"] = planes * Bottleneck.expansion
                 y = block_cls(width, strides=strides,
                               name=f"layer{stage + 1}_block{i}", **kwargs)(y, train)
             feats.append(y)
@@ -227,8 +234,10 @@ RESNET_CONFIGS = {
     "resnet101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck"),
     "resnet152": dict(stage_sizes=(3, 8, 36, 3), block="bottleneck"),
     "seresnet50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True),
-    "seresnext50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True, groups=32),
-    "seresnext101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck", use_se=True, groups=32),
+    "seresnext50": dict(stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True,
+                        groups=32, width_factor=2.0),
+    "seresnext101": dict(stage_sizes=(3, 4, 23, 3), block="bottleneck", use_se=True,
+                         groups=32, width_factor=2.0),
 }
 
 

@@ -514,59 +514,129 @@ class UnetSEResNext101(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# HRNet (reference hrnet.py hrnet18/34/48) — compact faithful variant
+# HRNetV2 (reference hrnet.py hrnet18/34/48 → pytorch_toolbelt
+# HRNetV2Encoder{18,34,48} + HRNetSegmentationDecoder) — real 4-stage topology
 # ---------------------------------------------------------------------------
 
+class _HRFuse(nn.Module):
+    """Full cross-resolution fusion (HRNetV2 fuse_layers): every branch
+    receives every other — 1×1 conv + upsample from lower resolutions, chains
+    of stride-2 3×3 convs from higher resolutions — summed then ReLU."""
+
+    widths: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        bn = lambda name: BatchNorm(dtype=self.dtype, name=name)
+        n = xs[0].shape[0]
+        fused = []
+        for i in range(len(xs)):
+            th, tw = xs[i].shape[1], xs[i].shape[2]
+            acc = xs[i]
+            for j in range(len(xs)):
+                if i == j:
+                    continue
+                s = xs[j]
+                if j > i:  # lower res -> 1x1 conv, BN, upsample 2^(j-i)
+                    s = nn.Conv(self.widths[i], (1, 1), use_bias=False,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name=f"f{j}to{i}_conv")(s)
+                    s = bn(f"f{j}to{i}_bn")(s, train)
+                    s = jax.image.resize(s, (n, th, tw, self.widths[i]),
+                                         "bilinear")
+                else:  # higher res -> chain of stride-2 3x3 convs
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        ch = self.widths[i] if last else self.widths[j]
+                        s = nn.Conv(ch, (3, 3), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)], use_bias=False,
+                                    dtype=self.dtype, param_dtype=jnp.float32,
+                                    name=f"f{j}to{i}_conv{k}")(s)
+                        s = bn(f"f{j}to{i}_bn{k}")(s, train)
+                        if not last:
+                            s = nn.relu(s)
+                acc = acc + s
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class _HRModule(nn.Module):
+    """One HRNet exchange module: 4 BasicBlocks per branch + full fusion."""
+
+    widths: Sequence[int]
+    n_blocks: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from .encoders import BasicBlock
+        ys = []
+        for i, x in enumerate(xs):
+            for b in range(self.n_blocks):
+                x = BasicBlock(self.widths[i], dtype=self.dtype,
+                               name=f"b{i}_blk{b}")(x, train)
+            ys.append(x)
+        return _HRFuse(self.widths, dtype=self.dtype, name="fuse")(ys, train)
+
+
 class HRNet(nn.Module):
-    """High-resolution network: parallel multi-resolution branches with
-    repeated cross-resolution fusion, concat-upsample segmentation head.
-    Compact 3-stage variant of the reference's timm hrnet18/34/48."""
+    """HRNetV2 segmentation (reference hrnet.py:39-51 maps hrnet18/34/48 to
+    pytorch_toolbelt HRNetV2 encoders). Standard topology for every width:
+    stem (2× stride-2 conv) → stage1 (4 bottlenecks, 256ch) → 4-branch
+    pyramid [C,2C,4C,8C] with 1/4/3 exchange modules in stages 2/3/4 (4
+    BasicBlocks per branch per module) → HRNetV2 head: upsample-all-to-/4
+    concat + 1×1 conv + classes, bilinear ×4 to full size."""
 
     width: int = 18
     classes: int = 1
     dtype: Dtype = jnp.float32
 
+    # official HRNetV2 module counts (same for all widths)
+    stage_modules: Sequence[int] = (1, 4, 3)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .encoders import Bottleneck
         n, H, W, _ = x.shape
         w = self.width
+        widths = [w, 2 * w, 4 * w, 8 * w]
+
+        # stem: /4
         y = ConvBNReLU(64, 3, strides=2, drop_block_prob=0.0,
                        dtype=self.dtype, name="stem1")(x, train)
         y = ConvBNReLU(64, 3, strides=2, drop_block_prob=0.0,
-                       dtype=self.dtype, name="stem2")(y, train)  # /4
-        widths = [w, 2 * w, 4 * w, 8 * w]
-        branches = [ConvBNReLU(widths[0], 3, drop_block_prob=0.0,
-                               dtype=self.dtype, name="b0_init")(y, train)]
-        for stage in range(3):
-            # add a new lower-resolution branch
-            branches.append(ConvBNReLU(widths[len(branches)], 3, strides=2,
-                                       drop_block_prob=0.0, dtype=self.dtype,
-                                       name=f"new_branch{stage}")(branches[-1],
-                                                                  train))
-            # per-branch convs
-            branches = [ConvBNReLU(widths[i], 3, drop_block_prob=0.0,
-                                   dtype=self.dtype,
-                                   name=f"s{stage}_b{i}")(b, train)
-                        for i, b in enumerate(branches)]
-            # full fusion
-            fused = []
-            for i, tgt in enumerate(branches):
-                acc = tgt
-                th, tw = tgt.shape[1], tgt.shape[2]
-                for j, src in enumerate(branches):
-                    if i == j:
-                        continue
-                    s = nn.Conv(widths[i], (1, 1), use_bias=False,
-                                dtype=self.dtype, param_dtype=jnp.float32,
-                                name=f"s{stage}_f{j}to{i}")(src)
-                    s = jax.image.resize(s, (n, th, tw, widths[i]), "bilinear")
-                    acc = acc + s
-                fused.append(nn.relu(acc))
-            branches = fused
-        # head: upsample all to /4, concat, conv, upsample to /1
+                       dtype=self.dtype, name="stem2")(y, train)
+        # stage1: 4 bottleneck blocks at 64 (256 out)
+        for b in range(4):
+            y = Bottleneck(64, dtype=self.dtype, name=f"layer1_blk{b}")(y, train)
+
+        # transitions add one lower-resolution branch per stage; existing
+        # branches pass through (HRNetV2 only inserts a conv on width change,
+        # which only happens at the stage-1 -> stage-2 boundary)
+        branches = [
+            ConvBNReLU(widths[0], 3, drop_block_prob=0.0, dtype=self.dtype,
+                       name="trans1_b0")(y, train),
+            ConvBNReLU(widths[1], 3, strides=2, drop_block_prob=0.0,
+                       dtype=self.dtype, name="trans1_b1")(y, train),
+        ]
+        for stage, n_modules in enumerate(self.stage_modules):
+            if stage > 0:
+                branches.append(
+                    ConvBNReLU(widths[len(branches)], 3, strides=2,
+                               drop_block_prob=0.0, dtype=self.dtype,
+                               name=f"trans{stage + 1}")(branches[-1], train))
+            ws = widths[:len(branches)]
+            for m in range(n_modules):
+                branches = _HRModule(ws, dtype=self.dtype,
+                                     name=f"stage{stage + 2}_m{m}")(branches,
+                                                                    train)
+
+        # HRNetV2 head: upsample all to /4, concat, 1x1 conv, classes, x4 up
         h4, w4 = branches[0].shape[1], branches[0].shape[2]
-        ups = [jax.image.resize(b, (n, h4, w4, b.shape[-1]), "bilinear")
-               for b in branches]
+        ups = [branches[0]] + [
+            jax.image.resize(b, (n, h4, w4, b.shape[-1]), "bilinear")
+            for b in branches[1:]]
         y = jnp.concatenate(ups, axis=-1)
         y = ConvBNReLU(sum(widths), 1, drop_block_prob=0.0, dtype=self.dtype,
                        name="head_conv")(y, train)

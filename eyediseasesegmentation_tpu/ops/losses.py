@@ -200,7 +200,9 @@ def _lovasz_hinge_flat(logits, labels, valid=None):
         grad = _lovasz_grad(labels_sorted) * valid_sorted
     else:
         grad = _lovasz_grad(labels_sorted)
-    return jnp.sum(jax.nn.relu(errors_sorted) * jax.lax.stop_gradient(grad))
+    # reference lovasz.py:70 uses elu(errors)+1 (not relu): smooth, strictly
+    # positive hinge — keeps gradient flowing for easy pixels near the margin
+    return jnp.sum((jax.nn.elu(errors_sorted) + 1.0) * jax.lax.stop_gradient(grad))
 
 
 def lovasz_hinge(logits, targets, per_image: bool = False):

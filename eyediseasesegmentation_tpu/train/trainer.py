@@ -76,6 +76,22 @@ def _model_outputs(out):
     return out[0], None, out[1]
 
 
+def _infer_encoder_arch(cfg: Dict[str, Any]) -> str:
+    """Map the config's encoder_name to a torch pretrained architecture
+    (BoTSER50_* configs wrap an se_resnet50 backbone, unetplusplusstar.py:282)."""
+    name = str((cfg.get("model_params") or {}).get("encoder_name", ""))
+    low = name.lower()
+    if "botser50" in low or "seresnet50" in low:
+        return "se_resnet50"
+    if "seresnext101" in low or low == "unet_seresnext101":
+        return "se_resnext101"
+    if "swin" in low:
+        return "swin_small" if "small" in low else "swin_tiny"
+    if "seresnext50" in low:
+        return "se_resnext50"
+    return "se_resnet50"
+
+
 @dataclasses.dataclass
 class Trainer:
     """Compiled-step trainer for one experiment config (see BaseConfig)."""
@@ -127,17 +143,10 @@ class Trainer:
         ds_weight = self.ds_weight
         deep_supervision = self.deep_supervision
 
-        def loss_and_metrics(params, batch_stats, images, masks, rng, train):
-            variables = {"params": params, "batch_stats": batch_stats}
-            kwargs = dict(train=train)
-            if train:
-                out, updates = model.apply(variables, images, rngs={"dropout": rng},
-                                           mutable=["batch_stats"], **kwargs)
-            else:
-                out = model.apply(variables, images, **kwargs)
-                updates = {"batch_stats": batch_stats}
+        def compute_loss(out, m4):
+            """Compound loss from model outputs (shared by train and eval so
+            eval never re-runs the forward pass)."""
             final, ds, clf = _model_outputs(out)
-            m4 = masks[..., None] if masks.ndim == 3 else masks
             total, parts = loss_fn(final.astype(jnp.float32), m4)
             if deep_supervision and ds is not None:
                 for d in ds:
@@ -151,6 +160,19 @@ class Trainer:
                 clf_loss = L.soft_bce_with_logits(clf.reshape(-1), label)
                 parts = {**parts, "clf": clf_loss}
                 total = total + self.clf_weight * clf_loss
+            return total, parts, final
+
+        def loss_and_metrics(params, batch_stats, images, masks, rng, train):
+            variables = {"params": params, "batch_stats": batch_stats}
+            kwargs = dict(train=train)
+            if train:
+                out, updates = model.apply(variables, images, rngs={"dropout": rng},
+                                           mutable=["batch_stats"], **kwargs)
+            else:
+                out = model.apply(variables, images, **kwargs)
+                updates = {"batch_stats": batch_stats}
+            m4 = masks[..., None] if masks.ndim == 3 else masks
+            total, parts, final = compute_loss(out, m4)
             probs = jax.nn.sigmoid(final.astype(jnp.float32))
             return total, (updates["batch_stats"], parts, probs, m4)
 
@@ -178,12 +200,13 @@ class Trainer:
             m = masks[..., None] if masks.ndim == 3 else masks
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             out = model.apply(variables, images, train=False)
-            final, _, _ = _model_outputs(out)
-            probs = jax.nn.sigmoid(final.astype(jnp.float32))
             # GT through the same longest-max-size + pad geometry as the image
             # (val metric at scale_size, as the reference's val loader does)
             tm = jax.vmap(lambda mm: I.longest_max_size_pad(
                 mm, transform.image_size, method="nearest"))(m)
+            # one forward: the same logits feed val loss AND metrics
+            val_loss, _, final = compute_loss(out, tm)
+            probs = jax.nn.sigmoid(final.astype(jnp.float32))
             valid = (jnp.arange(images.shape[0]) < n_valid).astype(jnp.float32)
             vmask = valid[:, None, None, None]
             pred = (probs > 0.5).astype(jnp.float32) * vmask
@@ -196,10 +219,7 @@ class Trainer:
             tp, ap, pp, _ = M.threshold_sweep(
                 probs, tm, valid_mask=jnp.broadcast_to(vmask, probs.shape))
             return {"inter": inter, "pred": jnp.sum(pred), "true": jnp.sum(true),
-                    "tp": tp, "ap": ap, "pp": pp,
-                    "loss": loss_and_metrics(state.params, state.batch_stats,
-                                             images, tm, jax.random.PRNGKey(0),
-                                             False)[0]}
+                    "tp": tp, "ap": ap, "pp": pp, "loss": val_loss}
 
         rep = replicated_sharding(self.mesh)
         img_shard = batch_sharding(self.mesh, ndim=4)
@@ -224,6 +244,19 @@ class Trainer:
         init_fn = jax.jit(partial(self.model.init, train=False))
         variables = init_fn(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, dummy)
+        if cfg.get("encoder_weights"):
+            # pretrained-encoder bootstrap (reference unetplusplusstar.py:
+            # 282-284 se_resnet50 → BoTSER50; hubmap_kaggle.py:124
+            # se_resnext101; checkpoint.py:213-246 Swin) — torch .pth import
+            # with non-strict key-diff reporting
+            from ..utils.torch_import import import_torch_checkpoint
+            arch = cfg.get("encoder_arch") or _infer_encoder_arch(cfg)
+            variables, report = import_torch_checkpoint(
+                cfg["encoder_weights"], variables, arch=arch)
+            logger.info("pretrained encoder '%s': %d tensors loaded, "
+                        "%d missing, %d mismatched", arch,
+                        len(report["loaded"]), len(report["missing_in_jax"]),
+                        len(report["shape_mismatch"]))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         model_name = cfg["model_name"]
@@ -273,6 +306,8 @@ class Trainer:
         history = []
         global_step = 0
         metrics_file = logdir / "metrics.jsonl"
+        from ..utils.tb import TensorBoardWriter, row_to_scalars
+        tb = TensorBoardWriter(logdir, enabled=bool(cfg.get("tensorboard", True)))
 
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
@@ -346,6 +381,7 @@ class Trainer:
             history.append(row)
             with open(metrics_file, "a") as f:
                 f.write(json.dumps(row) + "\n")
+            tb.add_scalars(epoch, row_to_scalars(row))
             logger.info("epoch %d | loss %.4f | val_dice %.4f | lr %.2e | %.1fs",
                         epoch, train_agg.get("loss", float("nan")), val_dice, lr,
                         row["time"])
@@ -354,6 +390,7 @@ class Trainer:
                 logger.info("early stopping at epoch %d (patience %d)", epoch, patience)
                 break
 
+        tb.close()
         return {"history": history, "best_metric": float(best_metric),
                 "state": state, "logdir": logdir}
 
@@ -369,11 +406,26 @@ def train_model(exp_name: str, configs: Dict[str, Any], seed: int = 1999,
     with open(logdir / "config.json", "w") as f:
         json.dump(cfg, f, indent=2, default=str)
 
-    imgs, masks = get_datapath(Path(cfg["train_img_path"]),
-                               Path(cfg["train_mask_path"]),
-                               cfg.get("lesion_type", "EX"))
-    (tr_i, tr_m), (va_i, va_m) = train_val_split(
-        imgs, masks, val_size=float(cfg.get("val_size", 0.2)), seed=seed)
+    if cfg.get("data_type", "all") == "tile":
+        # tile-mode training: consume the img_mask.csv patch lists written by
+        # data.patches.build_dataframe (reference train.py:77-110 reads
+        # data/processed/<ds>/{train,val}/<lesion>/img_mask.csv)
+        from ..data.patches import read_img_mask_csv
+        root = Path(cfg.get("processed_root", "data/processed"))
+        base = root / cfg.get("dataset_name", "IDRiD")
+        lesion = cfg.get("lesion_type", "EX")
+        train_csv = Path(cfg.get("tile_train_csv")
+                         or base / "train" / lesion / "img_mask.csv")
+        val_csv = Path(cfg.get("tile_val_csv")
+                       or base / "val" / lesion / "img_mask.csv")
+        tr_i, tr_m = read_img_mask_csv(train_csv)
+        va_i, va_m = read_img_mask_csv(val_csv)
+    else:
+        imgs, masks = get_datapath(Path(cfg["train_img_path"]),
+                                   Path(cfg["train_mask_path"]),
+                                   cfg.get("lesion_type", "EX"))
+        (tr_i, tr_m), (va_i, va_m) = train_val_split(
+            imgs, masks, val_size=float(cfg.get("val_size", 0.2)), seed=seed)
     train_ds = OneLesionSegmentation(tr_i, tr_m, gray=cfg.get("gray", False),
                                      ben_transform=cfg.get("use_ben_transform", False))
     valid_ds = OneLesionSegmentation(va_i, va_m, gray=cfg.get("gray", False),

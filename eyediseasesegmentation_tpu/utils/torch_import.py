@@ -81,14 +81,17 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray, report: Dict):
     report["loaded"].append("/".join(path))
 
 
-def import_se_resnet50(state_dict: Dict[str, Any], params: Dict, batch_stats: Dict,
-                       prefix: Tuple[str, ...] = ("seresnet",),
-                       num_stages: int = 3) -> Dict[str, Any]:
-    """Map a pytorch_toolbelt/senet ``se_resnet50`` state_dict onto the
-    BoTSER50 backbone tree (in place on mutable dict copies).
+def import_senet(state_dict: Dict[str, Any], params: Dict, batch_stats: Dict,
+                 prefix: Tuple[str, ...] = ("seresnet",),
+                 num_stages: int = 3,
+                 stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)) -> Dict[str, Any]:
+    """Map a pytorch_toolbelt/senet-family state_dict (se_resnet50,
+    se_resnext50/101_32x4d) onto a ResNetEncoder tree (in place on mutable
+    dict copies).
 
     senet names: layer0.conv1/bn1; layerN.M.{conv1..3,bn1..3},
-    se_module.fc1/fc2, downsample.{0,1}.
+    se_module.fc1/fc2, downsample.{0,1}. Grouped 3×3 convs (ResNeXt) need no
+    special-casing: torch (O, I/g, 3, 3) → flax HWIO (3, 3, I/g, O).
     Returns a key-diff report (the reference's non-strict load,
     checkpoint.py:18-78).
     """
@@ -112,9 +115,8 @@ def import_se_resnet50(state_dict: Dict[str, Any], params: Dict, batch_stats: Di
     bn("layer0.bn1", prefix + ("stem_bn",))
 
     # residual stages
-    stage_sizes = {1: 3, 2: 4, 3: 6, 4: 3}
     for stage in range(1, num_stages + 1):
-        for blk in range(stage_sizes[stage]):
+        for blk in range(stage_sizes[stage - 1]):
             tp = f"layer{stage}.{blk}"
             jp = prefix + (f"layer{stage}_block{blk}",)
             for ci in (1, 2, 3):
@@ -138,11 +140,209 @@ def import_se_resnet50(state_dict: Dict[str, Any], params: Dict, batch_stats: Di
                      conv_kernel(take(f"{tp}.downsample.0.weight")), report)
                 bn(f"{tp}.downsample.1", jp + ("down_bn",))
 
-    report["unused_torch"] = [k for k in state_dict if k not in used]
+    report["unused_torch"] = [k for k in state_dict if k not in used
+                              and not k.endswith("num_batches_tracked")]
     logger.info("torch import: %d loaded, %d missing, %d mismatched, %d unused",
                 len(report["loaded"]), len(report["missing_in_jax"]),
                 len(report["shape_mismatch"]), len(report["unused_torch"]))
     return report
+
+
+# back-compat alias (round-1 API)
+def import_se_resnet50(state_dict, params, batch_stats,
+                       prefix: Tuple[str, ...] = ("seresnet",),
+                       num_stages: int = 3) -> Dict[str, Any]:
+    return import_senet(state_dict, params, batch_stats, prefix=prefix,
+                        num_stages=num_stages, stage_sizes=(3, 4, 6, 3))
+
+
+# ---------------------------------------------------------------------------
+# Swin (reference util/checkpoint.py:213-246: 'module.' strip + absolute
+# pos-embed reshape + relative-position-bias-table bicubic interpolation)
+# ---------------------------------------------------------------------------
+
+def resize_rel_bias_table(table: np.ndarray, dst_rows: int) -> np.ndarray:
+    """Bicubicly resize a ((2w1-1)², H) relative-position-bias table to
+    ((2w2-1)², H) — the reference's window-size adaptation
+    (checkpoint.py:229-243)."""
+    L1, H = table.shape
+    S1 = int(round(np.sqrt(L1)))
+    S2 = int(round(np.sqrt(dst_rows)))
+    if S1 * S1 != L1 or S2 * S2 != dst_rows:
+        raise ValueError(f"non-square bias tables: {L1} -> {dst_rows}")
+    if S1 == S2:
+        return table
+    import jax
+    grid = table.reshape(S1, S1, H)
+    out = jax.image.resize(grid.astype(np.float32), (S2, S2, H), "cubic")
+    return np.asarray(out).reshape(S2 * S2, H)
+
+
+def import_swin(state_dict: Dict[str, Any], params: Dict,
+                prefix: Tuple[str, ...] = (),
+                depths: Tuple[int, ...] = (2, 2, 6, 2)) -> Dict[str, Any]:
+    """Map an official Swin state_dict (layers.{i}.blocks.{j}.attn...) onto
+    the flax ``SwinTransformer`` tree.
+
+    Layout notes:
+    * qkv/proj/mlp Dense: (out,in) → (in,out); biases copied.
+    * patch_embed.proj 4×4 conv: OIHW → HWIO.
+    * patch-merging: torch concatenates (0,0),(1,0),(0,1),(1,1) 2×2 sub-pixels;
+      the flax reshape produces (0,0),(0,1),(1,0),(1,1) — the reduction weight
+      and merge norm are permuted accordingly.
+    * relative_position_bias_table rows are bicubicly resized when the flax
+      window (snapped to the feature size) differs from torch's 7
+      (reference checkpoint.py:229-243). Swin-T/S have no absolute pos embed.
+    Swin blocks are flat in the flax tree as stage{s}_block{i}.
+    """
+    report = {"loaded": [], "missing_in_jax": [], "shape_mismatch": [],
+              "unused_torch": []}
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return state_dict[name]
+
+    def dense(tname, jpath, transform=dense_kernel):
+        _set(params, jpath + ("kernel",), transform(take(f"{tname}.weight")), report)
+        if f"{tname}.bias" in state_dict:
+            _set(params, jpath + ("bias",), to_numpy(take(f"{tname}.bias")), report)
+
+    def ln(tname, jpath):
+        _set(params, jpath + ("scale",), to_numpy(take(f"{tname}.weight")), report)
+        _set(params, jpath + ("bias",), to_numpy(take(f"{tname}.bias")), report)
+
+    # patch embed conv + following LayerNorm (flax auto-name LayerNorm_0)
+    _set(params, prefix + ("patch_embed", "kernel"),
+         conv_kernel(take("patch_embed.proj.weight")), report)
+    _set(params, prefix + ("patch_embed", "bias"),
+         to_numpy(take("patch_embed.proj.bias")), report)
+    ln("patch_embed.norm", prefix + ("LayerNorm_0",))
+
+    # torch merge order (0,0),(1,0),(0,1),(1,1) -> flax (0,0),(0,1),(1,0),(1,1)
+    def merge_perm(c):
+        order = np.array([0, 2, 1, 3])
+        return np.concatenate([np.arange(c) + o * c for o in order])
+
+    for stage, depth in enumerate(depths):
+        if stage > 0:
+            # patch merging: flax auto-names LayerNorm_{stage}, Dense_{stage-1}
+            cc = to_numpy(state_dict[f"layers.{stage - 1}.downsample.norm.weight"]).shape[0] // 4
+            perm = merge_perm(cc)
+            w = to_numpy(take(f"layers.{stage - 1}.downsample.reduction.weight"))
+            _set(params, prefix + (f"Dense_{stage - 1}", "kernel"),
+                 w.transpose(1, 0)[perm], report)
+            nw = to_numpy(take(f"layers.{stage - 1}.downsample.norm.weight"))[perm]
+            nb = to_numpy(take(f"layers.{stage - 1}.downsample.norm.bias"))[perm]
+            _set(params, prefix + (f"LayerNorm_{stage}", "scale"), nw, report)
+            _set(params, prefix + (f"LayerNorm_{stage}", "bias"), nb, report)
+        for blk in range(depth):
+            tp = f"layers.{stage}.blocks.{blk}"
+            jp = prefix + (f"stage{stage}_block{blk}",)
+            ln(f"{tp}.norm1", jp + ("LayerNorm_0",))
+            ln(f"{tp}.norm2", jp + ("LayerNorm_1",))
+            att = jp + ("WindowAttention_0",)
+            dense(f"{tp}.attn.qkv", att + ("Dense_0",))
+            dense(f"{tp}.attn.proj", att + ("Dense_1",))
+            dense(f"{tp}.mlp.fc1", jp + ("Dense_0",))
+            dense(f"{tp}.mlp.fc2", jp + ("Dense_1",))
+            # relative position bias table, window-resized on mismatch
+            tbl = to_numpy(take(f"{tp}.attn.relative_position_bias_table"))
+            used.add(f"{tp}.attn.relative_position_index")
+            node = params
+            ok = True
+            for p in att:
+                if p not in node:
+                    ok = False
+                    break
+                node = node[p]
+            if ok and "rel_bias" in node:
+                dst = node["rel_bias"].shape[0]
+                _set(params, att + ("rel_bias",),
+                     resize_rel_bias_table(tbl, dst), report)
+            else:
+                report["missing_in_jax"].append("/".join(att) + "/rel_bias")
+
+    report["unused_torch"] = [k for k in state_dict if k not in used]
+    logger.info("swin import: %d loaded, %d missing, %d mismatched, %d unused",
+                len(report["loaded"]), len(report["missing_in_jax"]),
+                len(report["shape_mismatch"]), len(report["unused_torch"]))
+    return report
+
+
+# ---------------------------------------------------------------------------
+# Top-level entry: checkpoint (path or state_dict) -> model variables
+# ---------------------------------------------------------------------------
+
+ARCH_STAGE_SIZES = {
+    "se_resnet50": (3, 4, 6, 3),
+    "seresnet50": (3, 4, 6, 3),
+    "se_resnext50": (3, 4, 6, 3),
+    "seresnext50": (3, 4, 6, 3),
+    "se_resnext101": (3, 4, 23, 3),
+    "seresnext101": (3, 4, 23, 3),
+}
+
+
+def _to_mutable(d):
+    if isinstance(d, dict) or hasattr(d, "items"):
+        return {k: _to_mutable(v) for k, v in d.items()}
+    return d
+
+
+def import_torch_checkpoint(path_or_state_dict, variables: Dict[str, Any],
+                            arch: str = "se_resnet50",
+                            encoder_key: str = "encoder",
+                            backbone_key: Optional[str] = None) -> Tuple[Dict, Dict]:
+    """Load torch pretrained encoder weights into a model's variables.
+
+    ``arch``: se_resnet50 / se_resnext50 / se_resnext101 (senet family) or
+    swin_tiny / swin_small. ``encoder_key`` names the encoder subtree in
+    ``variables['params']``; ``backbone_key`` an optional nested subtree
+    ('seresnet' inside BoTSER50Encoder, 'swin' inside SwinPyramidEncoder;
+    auto-detected when present). Returns (new_variables, report) — the
+    non-strict load with key-diff report of reference checkpoint.py:18-78.
+
+    Reference parity: unetplusplusstar.py:282-284 (se_resnet50 → BoTSER50),
+    hubmap_kaggle.py:124 (se_resnext101), checkpoint.py:213-246 (Swin).
+    """
+    if isinstance(path_or_state_dict, dict):
+        state_dict = {re.sub(r"^module\.", "", k): v
+                      for k, v in path_or_state_dict.items()}
+    else:
+        state_dict = load_torch_checkpoint(path_or_state_dict)
+
+    import jax
+
+    params = _to_mutable(variables["params"])
+    batch_stats = _to_mutable(variables.get("batch_stats", {}))
+
+    enc_params = params.get(encoder_key, params)
+    enc_stats = batch_stats.get(encoder_key, batch_stats)
+
+    if backbone_key is None:  # auto-detect known nested backbones
+        for cand in ("seresnet", "swin"):
+            if cand in enc_params:
+                backbone_key = cand
+                break
+    if backbone_key:
+        enc_params = enc_params[backbone_key]
+        enc_stats = enc_stats.get(backbone_key, {}) if hasattr(enc_stats, "get") else {}
+
+    if arch in ARCH_STAGE_SIZES:
+        num_stages = sum(1 for k in enc_params if re.match(r"layer\d+_block0$", k))
+        report = import_senet(state_dict, enc_params, enc_stats,
+                              prefix=(), num_stages=num_stages,
+                              stage_sizes=ARCH_STAGE_SIZES[arch])
+    elif arch.startswith("swin"):
+        from ..models.transformers import SWIN_CONFIGS
+        depths = SWIN_CONFIGS.get(arch, SWIN_CONFIGS["swin_tiny"])["depths"]
+        report = import_swin(state_dict, enc_params, prefix=(), depths=depths)
+    else:
+        raise KeyError(f"no importer for arch '{arch}'")
+
+    new_vars = {**variables, "params": params, "batch_stats": batch_stats}
+    return new_vars, report
 
 
 def load_pretrained_encoder(variables: Dict[str, Any], checkpoint_path,
@@ -152,27 +352,5 @@ def load_pretrained_encoder(variables: Dict[str, Any], checkpoint_path,
 
     Returns (new_variables, report). Unknown architectures raise.
     """
-    import jax
-
-    state_dict = load_torch_checkpoint(checkpoint_path)
-    params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
-    batch_stats = jax.tree_util.tree_map(np.asarray,
-                                         dict(variables.get("batch_stats", {})))
-    # unfreeze nested dicts
-    import copy
-
-    def to_mutable(d):
-        if isinstance(d, dict) or hasattr(d, "items"):
-            return {k: to_mutable(v) for k, v in d.items()}
-        return d
-
-    params = to_mutable(params)
-    batch_stats = to_mutable(batch_stats)
-
-    if arch == "se_resnet50":
-        report = import_se_resnet50(state_dict, params[encoder_key],
-                                    batch_stats[encoder_key])
-    else:
-        raise KeyError(f"no importer for arch '{arch}'")
-    new_vars = {**variables, "params": params, "batch_stats": batch_stats}
-    return new_vars, report
+    return import_torch_checkpoint(checkpoint_path, variables, arch=arch,
+                                   encoder_key=encoder_key)

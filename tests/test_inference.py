@@ -131,6 +131,18 @@ def test_tiled_inference(trained, data_root, tmp_path):
     assert len(list(Path(result["out_dir"]).glob("*.jpg"))) == 3
 
 
+def test_tiled_inference_applies_tta(trained, data_root, tmp_path):
+    """--tta must change tiled predictions — the reference wraps the tiled
+    model in the same TTA wrapper as whole-image mode (tta.py:173-180)."""
+    logdir, _ = trained
+    cfg = _test_config(data_root, tmp_path / "outputs", scale_size=32)
+    r_none = tta_patches(logdir, cfg, {"best": "true", "tta": "none"})
+    r_d4 = tta_patches(logdir, cfg, {"best": "true", "tta": "d4"})
+    # a freshly-trained small net is not D4-equivariant, so the view mean must
+    # move the metric (exact float equality would mean the flag is ignored)
+    assert r_none["mean_auc"] != r_d4["mean_auc"]
+
+
 def test_ensemble(trained, data_root, tmp_path):
     logdir, _ = trained
     result = ensemble_predict(_test_config(data_root, tmp_path / "outputs"),

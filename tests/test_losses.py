@@ -93,7 +93,9 @@ def test_lovasz_matches_reference_algorithm():
         jac = 1.0 - inter / union
         if len(jac) > 1:
             jac[1:] = jac[1:] - jac[:-1]
-        return (np.maximum(e, 0) * jac).sum()
+        # reference lovasz.py:70: dot(elu(errors_sorted) + 1, grad)
+        elu1 = np.where(e > 0, e + 1.0, np.exp(np.minimum(e, 0.0)))
+        return (elu1 * jac).sum()
 
     got = float(L._lovasz_hinge_flat(jnp.asarray(logits), jnp.asarray(labels)))
     want = np_lovasz(logits, labels)

@@ -16,21 +16,25 @@ from eyediseasesegmentation_tpu.utils import torch_import as TI  # noqa: E402
 class TorchSEBottleneck(tnn.Module):
     """senet-style SE bottleneck (test oracle, senet naming via state_dict keys)."""
 
-    def __init__(self, cin, width, stride=1, reduction=16):
+    def __init__(self, cin, width, stride=1, reduction=16, out=None,
+                 groups=1, downsample=True):
         super().__init__()
-        out = width * 4
+        out = out or width * 4
         self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
         self.bn1 = tnn.BatchNorm2d(width)
-        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1,
+                                bias=False, groups=groups)
         self.bn2 = tnn.BatchNorm2d(width)
         self.conv3 = tnn.Conv2d(width, out, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(out)
         self.se_module = tnn.Module()
         self.se_module.fc1 = tnn.Conv2d(out, out // reduction, 1)
         self.se_module.fc2 = tnn.Conv2d(out // reduction, out, 1)
-        self.downsample = tnn.Sequential(
-            tnn.Conv2d(cin, out, 1, stride=stride, bias=False),
-            tnn.BatchNorm2d(out))
+        self.downsample = None
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, out, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(out))
 
     def forward(self, x):
         y = torch.relu(self.bn1(self.conv1(x)))
@@ -40,7 +44,8 @@ class TorchSEBottleneck(tnn.Module):
         s = torch.relu(self.se_module.fc1(s))
         s = torch.sigmoid(self.se_module.fc2(s))
         y = y * s
-        return torch.relu(y + self.downsample(x))
+        sc = self.downsample(x) if self.downsample is not None else x
+        return torch.relu(y + sc)
 
 
 class TorchStem(tnn.Module):
@@ -112,6 +117,224 @@ def test_imported_encoder_matches_torch(torch_net):
         t = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
         want = block(stem(t)).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def _randomize_bn(modules):
+    for m in modules:
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.5, 0.5)
+            m.running_var.uniform_(0.5, 1.5)
+
+
+class TorchSEResNet50Trunk(tnn.Module):
+    """Full senet se_resnet50 layers 0-3 (the part BoTSER50 imports,
+    reference unetplusplusstar.py:282-287)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stem = TorchStem()
+        stage_sizes = {1: 3, 2: 4, 3: 6}
+        self.stages = tnn.ModuleList()
+        cin = 64
+        for s, n in stage_sizes.items():
+            width = 64 * 2 ** (s - 1)
+            blocks = []
+            for b in range(n):
+                blocks.append(TorchSEBottleneck(
+                    cin, width, stride=2 if (b == 0 and s > 1) else 1,
+                    downsample=(b == 0)))
+                cin = width * 4
+            self.stages.append(tnn.ModuleList(blocks))
+
+    def forward(self, x):
+        x = self.stem(x)
+        for stage in self.stages:
+            for blk in stage:
+                x = blk(x)
+        return x
+
+    def senet_state_dict(self):
+        sd = {}
+        for k, v in self.stem.state_dict().items():
+            sd[f"layer0.{k}"] = v
+        for si, stage in enumerate(self.stages):
+            for bi, blk in enumerate(stage):
+                for k, v in blk.state_dict().items():
+                    sd[f"layer{si + 1}.{bi}.{k}"] = v
+        return sd
+
+
+def test_full_se_resnet50_import_matches_torch():
+    """End-to-end: a complete se_resnet50-layout state_dict imported into the
+    BoTSER50 backbone matches the torch forward (VERDICT #3 done-criterion)."""
+    torch.manual_seed(1)
+    trunk = TorchSEResNet50Trunk().eval()
+    _randomize_bn(trunk.modules())
+
+    enc = ResNetEncoder(stage_sizes=(3, 4, 6, 3), block="bottleneck",
+                        use_se=True, num_stages=3, dtype=jnp.float32)
+    x_np = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)
+
+    new_vars, report = TI.import_torch_checkpoint(
+        trunk.senet_state_dict(), variables, arch="se_resnet50",
+        encoder_key="params_has_no_encoder_key_so_fall_back")
+    assert not report["missing_in_jax"], report["missing_in_jax"][:5]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    assert not report["unused_torch"], report["unused_torch"][:5]
+    # everything below layer4 loaded: 3 stages x (conv/bn x3 + se x2 + ds)
+    assert len(report["loaded"]) > 250
+
+    feats = enc.apply({"params": new_vars["params"],
+                       "batch_stats": new_vars["batch_stats"]},
+                      jnp.asarray(x_np), train=False)
+    got = np.asarray(feats[-1])
+    with torch.no_grad():
+        want = trunk(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    want = want.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_seresnext_grouped_import_matches_torch():
+    """se_resnext 32x4d block: grouped 3×3 conv import is layout-exact
+    (reference hubmap_kaggle.py:124 loads se_resnext101)."""
+    torch.manual_seed(2)
+    stem = TorchStem().eval()
+    # resnext101 layer1 block0: width 128 (=2x planes), groups 32, out 256
+    block = TorchSEBottleneck(64, 128, out=256, groups=32).eval()
+    _randomize_bn(list(stem.modules()) + list(block.modules()))
+
+    enc = ResNetEncoder(stage_sizes=(1,), block="bottleneck", use_se=True,
+                        groups=32, width_factor=2.0, num_stages=1,
+                        dtype=jnp.float32)
+    x_np = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)
+
+    sd = {f"layer0.{k}": v for k, v in stem.state_dict().items()}
+    sd.update({f"layer1.0.{k}": v for k, v in block.state_dict().items()})
+    new_vars, report = TI.import_torch_checkpoint(
+        sd, variables, arch="se_resnext101")
+    assert not report["shape_mismatch"], report["shape_mismatch"]
+    assert not report["missing_in_jax"], report["missing_in_jax"]
+
+    feats = enc.apply({"params": new_vars["params"],
+                       "batch_stats": new_vars["batch_stats"]},
+                      jnp.asarray(x_np), train=False)
+    with torch.no_grad():
+        want = block(stem(torch.from_numpy(x_np.transpose(0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(feats[-1]),
+                               want.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rel_bias_table_resize():
+    """Swin relative-position-bias bicubic resize (reference
+    checkpoint.py:229-243): identity when sizes match, exact shape + finite
+    values + corner preservation-ish when resized."""
+    t = np.random.RandomState(0).randn(13 * 13, 4).astype(np.float32)
+    same = TI.resize_rel_bias_table(t, 13 * 13)
+    np.testing.assert_array_equal(same, t)
+    small = TI.resize_rel_bias_table(t, 7 * 7)
+    assert small.shape == (49, 4)
+    assert np.isfinite(small).all()
+    # constant tables resize to the same constant
+    const = np.full((169, 2), 3.5, np.float32)
+    out = TI.resize_rel_bias_table(const, 25)
+    np.testing.assert_allclose(out, 3.5, rtol=1e-5)
+
+
+def test_swin_import_covers_tree():
+    """Official-Swin-layout state_dict maps onto the flax SwinTransformer:
+    every block's qkv/proj/mlp/norms + interpolated bias tables load."""
+    from eyediseasesegmentation_tpu.models.transformers import SwinTransformer
+
+    model = SwinTransformer("swin_tiny")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    # synthetic official-layout checkpoint (window 7 tables: 169 rows)
+    dims = (96, 192, 384, 768)
+    depths = (2, 2, 6, 2)
+    heads = (3, 6, 12, 24)
+    rng = np.random.RandomState(0)
+    sd = {
+        "patch_embed.proj.weight": rng.randn(96, 3, 4, 4).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(96).astype(np.float32),
+        "patch_embed.norm.weight": rng.randn(96).astype(np.float32),
+        "patch_embed.norm.bias": rng.randn(96).astype(np.float32),
+    }
+    for s, (dim, depth, h) in enumerate(zip(dims, depths, heads)):
+        if s > 0:
+            sd[f"layers.{s - 1}.downsample.reduction.weight"] = (
+                rng.randn(dim, 4 * dims[s - 1]).astype(np.float32))
+            sd[f"layers.{s - 1}.downsample.norm.weight"] = (
+                rng.randn(4 * dims[s - 1]).astype(np.float32))
+            sd[f"layers.{s - 1}.downsample.norm.bias"] = (
+                rng.randn(4 * dims[s - 1]).astype(np.float32))
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            sd[f"{p}.norm1.weight"] = rng.randn(dim).astype(np.float32)
+            sd[f"{p}.norm1.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{p}.norm2.weight"] = rng.randn(dim).astype(np.float32)
+            sd[f"{p}.norm2.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{p}.attn.qkv.weight"] = rng.randn(3 * dim, dim).astype(np.float32)
+            sd[f"{p}.attn.qkv.bias"] = rng.randn(3 * dim).astype(np.float32)
+            sd[f"{p}.attn.proj.weight"] = rng.randn(dim, dim).astype(np.float32)
+            sd[f"{p}.attn.proj.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{p}.mlp.fc1.weight"] = rng.randn(4 * dim, dim).astype(np.float32)
+            sd[f"{p}.mlp.fc1.bias"] = rng.randn(4 * dim).astype(np.float32)
+            sd[f"{p}.mlp.fc2.weight"] = rng.randn(dim, 4 * dim).astype(np.float32)
+            sd[f"{p}.mlp.fc2.bias"] = rng.randn(dim).astype(np.float32)
+            sd[f"{p}.attn.relative_position_bias_table"] = (
+                rng.randn(169, h).astype(np.float32))
+            sd[f"{p}.attn.relative_position_index"] = np.zeros((49, 49), np.int64)
+
+    new_vars, report = TI.import_torch_checkpoint(sd, variables,
+                                                  arch="swin_tiny")
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    assert not report["missing_in_jax"], report["missing_in_jax"][:5]
+    assert not report["unused_torch"], report["unused_torch"][:5]
+    # model still runs with imported params
+    feats = model.apply(new_vars, x, train=False)
+    assert feats[-1].shape == (1, 2, 2, 768)
+
+
+def test_flagship_bootstrap_from_pretrained(tmp_path):
+    """The flagship (BoTSER50 encoder) starts from imported se_resnet50
+    weights via the Trainer config path (encoder_weights)."""
+    from eyediseasesegmentation_tpu import models as zoo
+
+    torch.manual_seed(3)
+    trunk = TorchSEResNet50Trunk()
+    ckpt = tmp_path / "se_resnet50.pth"
+    torch.save(trunk.senet_state_dict(), ckpt)
+
+    model = zoo.get_model(
+        "unetplusplusstar",
+        {"encoder_name": "BoTSER50_Axial_Imagenet_3", "base_dim": 2,
+         "classes": 1}, training=False, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    from functools import partial
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
+
+    before = np.asarray(
+        variables["params"]["encoder"]["seresnet"]["stem_conv"]["kernel"])
+    new_vars, report = TI.import_torch_checkpoint(str(ckpt), variables,
+                                                  arch="se_resnet50")
+    after = np.asarray(
+        new_vars["params"]["encoder"]["seresnet"]["stem_conv"]["kernel"])
+    assert not np.allclose(before, after)
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    assert not report["missing_in_jax"], report["missing_in_jax"][:5]
+    want = TI.conv_kernel(trunk.senet_state_dict()["layer0.conv1.weight"])
+    np.testing.assert_allclose(after, want, rtol=1e-6)
+    # forward still valid from the imported state
+    out = model.apply(new_vars, x, train=False)
+    if isinstance(out, tuple):
+        out = out[0]
+    assert out.shape == (1, 64, 64, 1)
+    assert bool(jnp.isfinite(out).all())
 
 
 def test_load_torch_checkpoint_unwrap(tmp_path, torch_net):

@@ -76,6 +76,21 @@ def test_training_progress(run):
     assert all(np.isfinite(r["val_dice"]) for r in rows)
 
 
+def test_tensorboard_events_written(run):
+    """TB event files mirror metrics.jsonl (reference gets these from
+    Catalyst's logdir writers, README.md:9)."""
+    events = list(run.glob("events.out.tfevents.*"))
+    assert events, "no TensorBoard event file in logdir"
+    # readable scalars with the expected tags
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    acc = EventAccumulator(str(run))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"train/loss", "val/dice", "lr"} <= tags, tags
+    assert len(acc.Scalars("val/dice")) == 3  # one per epoch
+
+
 def test_checkpoint_contract(run):
     ckpt = load_checkpoint(run / "checkpoints" / "best.ckpt")
     # the model_state_dict key is the contract tta/ensemble consume

@@ -48,6 +48,47 @@ def test_vessel_pipeline_e2e(vessel_root, tmp_path, monkeypatch):
             / "vessel_e2e" / "dice.csv").exists()
 
 
+def test_tile_mode_training_e2e(vessel_root, tmp_path, monkeypatch):
+    """data_type='tile': the trainer consumes img_mask.csv patch lists
+    (reference train.py:77-110) and the pipeline infers tiled (tta.py:150) —
+    patch-trained vessel models end to end."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import pipeline_vessel as pv
+    from eyediseasesegmentation_tpu.data.patches import (build_dataframe,
+                                                         build_patches)
+
+    monkeypatch.chdir(tmp_path)
+    imgs = sorted((vessel_root / "train" / "image").glob("*"))
+    masks = sorted((vessel_root / "train" / "mask").glob("*"))
+    splits = {"train": (imgs[:4], masks[:4]), "val": (imgs[4:], masks[4:])}
+    for split, (si, sm) in splits.items():
+        base = tmp_path / "data" / "processed" / "DRIVE" / split / "Vessel_DRIVE"
+        build_patches(si, sm, base / "image", base / "mask",
+                      window=32, min_overlap=8)
+        build_dataframe(base / "image", base / "mask")
+
+    override = {
+        "dataset_name": "DRIVE", "lesion_type": "Vessel_DRIVE",
+        "train_img_path": str(vessel_root / "train" / "image"),
+        "train_mask_path": str(vessel_root / "train" / "mask"),
+        "test_img_path": str(vessel_root / "test" / "image"),
+        "test_mask_path": str(vessel_root / "test" / "mask"),
+        "scale_size": 32, "num_epochs": 1, "batch_size": 2, "is_fp16": False,
+        "augmentation": "normal",
+        "model_name": "classic_unet",
+        "model_params": {"filters": (8, 16), "classes": 1},
+        "criterion": {"bce": 1.0}, "pos_weights": [5.0], "data_type": "tile",
+    }
+    cfg_file = tmp_path / "override.json"
+    cfg_file.write_text(json.dumps(override))
+    args = {"createprob": "false", "best": "true", "tta": "hflip",
+            "config": str(cfg_file), "exp_name": "tile_e2e"}
+    logdir, result = pv.start_experiment(args)
+    assert (Path(logdir) / "checkpoints" / "best.ckpt").exists()
+    assert 0.0 <= result["mean_auc"] <= 1.0
+
+
 def test_build_patches_balances(tmp_path):
     from eyediseasesegmentation_tpu.data.patches import (build_dataframe,
                                                          build_patches)

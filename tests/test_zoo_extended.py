@@ -64,6 +64,21 @@ def test_extended_zoo_forward(name, params):
     assert out.shape == (1, 64, 64, 1), f"{name}: {out.shape}"
 
 
+def test_hrnet_param_counts_match_timm():
+    """Real HRNetV2 topology: param counts within 15% of the timm backbones
+    the reference maps to (hrnet.py:39-51 → HRNetV2Encoder18/48)."""
+    import numpy as np
+    from functools import partial
+    for name, timm_params in (("hrnet18", 9.6e6), ("hrnet48", 65.9e6)):
+        model = zoo.get_model(name, {})
+        shapes = jax.eval_shape(partial(model.init, train=False),
+                                {"params": jax.random.PRNGKey(0)},
+                                jnp.zeros((1, 64, 64, 3)))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(shapes["params"]))
+        assert abs(n - timm_params) / timm_params < 0.15, (name, n)
+
+
 def test_transunet_r50():
     out = _forward(zoo.get_model("transunet_r50",
                                  {"hidden": 64, "depth": 1, "heads": 4}))
