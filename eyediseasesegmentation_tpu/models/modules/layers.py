@@ -408,10 +408,43 @@ class ClassificationHead(nn.Module):
         return s.astype(jnp.float32)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _up2_matrix(h: int):
+    """(2h, h) banded bilinear ×2 interpolation matrix (half-pixel centers,
+    edge clamp): out[2i] = 0.25·x[i-1] + 0.75·x[i]; out[2i+1] = 0.75·x[i] +
+    0.25·x[i+1] — verified equal to jax.image.resize 'bilinear'."""
+    import numpy as np
+    U = np.zeros((2 * h, h), np.float32)
+    for i in range(2 * h):
+        if i % 2 == 0:
+            U[i, max(i // 2 - 1, 0)] += 0.25
+            U[i, i // 2] += 0.75
+        else:
+            U[i, i // 2] += 0.75
+            U[i, min(i // 2 + 1, h - 1)] += 0.25
+    return U
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear ×2 upsampling, NHWC (F.interpolate(scale_factor=2, 'bilinear'))."""
+    """Bilinear ×2 upsampling, NHWC (F.interpolate(scale_factor=2, 'bilinear')).
+
+    On TPU this runs as two banded-matrix einsums on the MXU — ``jax.image.
+    resize`` lowers to a gather that measured 14-56 ms at decoder scales
+    (~50 GB/s effective) where the matmul form takes 3-6 ms; the matrix is a
+    trace-time constant, exactness pinned by tests. On other backends the
+    plain resize is used (matmuls are the expensive form on CPU)."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+    if jax.default_backend() != "tpu":
+        return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+    Uh = jnp.asarray(_up2_matrix(h), x.dtype)
+    Uw = jnp.asarray(_up2_matrix(w), x.dtype)
+    y = jnp.einsum("Hh,nhwc->nHwc", Uh, x,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("Ww,nhwc->nhWc", Uw, y,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def maxpool2x(x: jnp.ndarray) -> jnp.ndarray:

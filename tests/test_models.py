@@ -74,6 +74,23 @@ def test_get_model_training_demotions():
     assert m.deep_supervision is False
 
 
+def test_upsample2x_matches_jax_image_resize():
+    """upsample2x must equal jax.image.resize 'bilinear' (torch F.interpolate
+    align_corners=False) on the active backend, and the MXU banded matrix used
+    on TPU must reproduce it exactly."""
+    from eyediseasesegmentation_tpu.models.modules.layers import (upsample2x,
+                                                                  _up2_matrix)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 9, 6, 5).astype(np.float32))
+    want = jax.image.resize(x, (2, 18, 12, 5), "bilinear")
+    got = upsample2x(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # the TPU matmul form, evaluated in fp32 numpy
+    Uh, Uw = _up2_matrix(9), _up2_matrix(6)
+    mm = np.einsum("Hh,nhwc->nHwc", Uh, np.asarray(x))
+    mm = np.einsum("Ww,nhwc->nhWc", Uw, mm)
+    np.testing.assert_allclose(mm, np.asarray(want), atol=1e-6)
+
+
 def test_registry_unknown_raises():
     with pytest.raises(KeyError):
         zoo.get_model("not_a_model")
