@@ -33,10 +33,55 @@ class DecoderBlock(nn.Module):
     use_catt: bool = False
     attention_type: Optional[str] = None
     drop_block_prob: float = 0.1
+    fast_tail: bool = False    # eval-only s2d-packed rewrite (ops/packed.py)
+    keep_packed: bool = False  # fast path: skip the final depth_to_space
     dtype: Dtype = jnp.float32
+
+    def _fast_call(self, x, skip, train):
+        """Same math as the normal path, emitted in s2d-packed layout: the
+        tail nodes (cout < 128 at ≥512²) run at 3-25 TF/s in plain NHWC on
+        v5e (lane padding + N<128 MXU waste); packed they use full lanes.
+        Parameters and module names are identical to the normal path."""
+        from ..ops.packed import depth_to_space
+
+        assert not train and not self.use_catt
+        if skip is not None:
+            skips = list(skip) if isinstance(skip, (list, tuple)) else [skip]
+            # gates computed WITHOUT touching the upsampled map (up_part0:
+            # mean/conv1x1 commute with bilinear up2 — exact), then fused
+            # into conv1's input reads instead of materializing gated parts
+            gate_c, gate_s = Attention(self.attention_type, return_gates=True,
+                                       up_part0=True, dtype=self.dtype,
+                                       name="attention1")([x] + skips)
+            parts = [upsample2x(x)] + skips
+            scales = None
+            if gate_c is not None:
+                scales, off = [], 0
+                for p in parts:
+                    cp = p.shape[-1]
+                    scales.append(gate_c[..., off:off + cp] + gate_s)
+                    off += cp
+            y = ConvBNReLU(self.out_channels, 3,
+                           drop_block_prob=self.drop_block_prob,
+                           mode="s2d_out", dtype=self.dtype, name="conv1")(
+                               parts, train, scales=scales)
+        else:
+            y = ConvBNReLU(self.out_channels, 3,
+                           drop_block_prob=self.drop_block_prob,
+                           mode="phase_up", dtype=self.dtype, name="conv1")(
+                               x, train)
+        y = ConvBNReLU(self.out_channels, 3,
+                       drop_block_prob=self.drop_block_prob,
+                       mode="packed_in", dtype=self.dtype, name="conv2")(
+                           y, train)
+        y = Attention(self.attention_type, packed=4, dtype=self.dtype,
+                      name="attention2")(y)
+        return y if self.keep_packed else depth_to_space(y)
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
+        if self.fast_tail and not train:
+            return self._fast_call(x, skip, train)
         dim = self.base_dim * (2 ** self.level)
         x_up = upsample2x(x)
         if skip is not None:
@@ -141,6 +186,11 @@ class UnetPlusPlusDecoder(nn.Module):
     deep_supervision: bool = False
     star: bool = False
     drop_block_prob: float = 0.1
+    # eval-only s2d-packed rewrite of the high-res tail (ops/packed.py):
+    # nodes with out_channels < 128 at resolution >= fast_min_res
+    fast_inference: bool = False
+    fast_min_res: int = 512
+    packed_final: bool = False  # hand the final map to the head s2d-packed
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -152,7 +202,16 @@ class UnetPlusPlusDecoder(nn.Module):
         out_channels = list(self.decoder_channels)
         depth = len(in_channels) - 1
 
-        def make_block(depth_idx, layer_idx):
+        def node_fast(xin, skips, out_ch, use_catt):
+            if not self.fast_inference or train or use_catt or out_ch >= 128:
+                return False
+            h, w = xin.shape[1], xin.shape[2]
+            if 2 * h < self.fast_min_res or h < 3 or w < 3:
+                return False
+            return all(s.shape[1] == 2 * h and s.shape[2] == 2 * w
+                       for s in skips)
+
+        def make_block(depth_idx, layer_idx, fast=False, keep_packed=False):
             if depth_idx == 0:
                 in_ch = in_channels[layer_idx]
                 skip_ch = skip_channels[layer_idx] * (layer_idx + 1)
@@ -165,15 +224,23 @@ class UnetPlusPlusDecoder(nn.Module):
             return DecoderBlock(
                 in_ch, skip_ch, out_ch, base_dim=self.base_dim, level=layer_idx,
                 use_catt=use_catt, attention_type=self.attention_type,
-                drop_block_prob=self.drop_block_prob, dtype=self.dtype,
+                drop_block_prob=self.drop_block_prob, fast_tail=fast,
+                keep_packed=keep_packed, dtype=self.dtype,
                 name=f"x_{depth_idx}_{layer_idx}",
             )
+
+        def node_out_ch(depth_idx, layer_idx):
+            return (out_channels[layer_idx] if depth_idx == 0
+                    else skip_channels[layer_idx])
 
         feats = features[1:][::-1]
         dense = {}
         # layer 0: the backbone column x_d_d (reference forward l.243-247)
         for d in range(depth):
-            dense[f"x_{d}_{d}"] = make_block(d, d)(feats[d], feats[d + 1], train)
+            fast = node_fast(feats[d], [feats[d + 1]], node_out_ch(d, d),
+                             self.star and d in (0, 1))
+            dense[f"x_{d}_{d}"] = make_block(d, d, fast)(
+                feats[d], feats[d + 1], train)
         # layers 1..depth-1: dense connections (l.249-257)
         for layer_idx in range(1, depth):
             for depth_idx in range(depth - layer_idx):
@@ -182,15 +249,21 @@ class UnetPlusPlusDecoder(nn.Module):
                 # column-split, never materializing the concatenation
                 cat = ([dense[f"x_{idx}_{li}"] for idx in range(depth_idx + 1, li + 1)]
                        + [feats[li + 1]])
-                dense[f"x_{depth_idx}_{li}"] = make_block(depth_idx, li)(
-                    dense[f"x_{depth_idx}_{li - 1}"], cat, train)
+                xin = dense[f"x_{depth_idx}_{li - 1}"]
+                fast = node_fast(xin, cat, node_out_ch(depth_idx, li),
+                                 self.star and li in (0, 1))
+                dense[f"x_{depth_idx}_{li}"] = make_block(depth_idx, li, fast)(
+                    xin, cat, train)
         # final no-skip block x_0_depth (l.237,259)
+        xin = dense[f"x_0_{depth - 1}"]
+        fast = node_fast(xin, [], out_channels[-1], False)
         dense[f"x_0_{depth}"] = DecoderBlock(
             in_channels[-1], 0, out_channels[-1], base_dim=self.base_dim,
             attention_type=self.attention_type,
-            drop_block_prob=self.drop_block_prob, dtype=self.dtype,
+            drop_block_prob=self.drop_block_prob, fast_tail=fast,
+            keep_packed=fast and self.packed_final, dtype=self.dtype,
             name=f"x_0_{depth}",
-        )(dense[f"x_0_{depth - 1}"], None, train)
+        )(xin, None, train)
 
         final = dense[f"x_0_{depth}"]
         if self.deep_supervision:

@@ -35,10 +35,11 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     frozen: bool = False
+    packed: int = 1  # s2d pack factor of the input; params stay logical
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
+        c = x.shape[-1] // self.packed
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -46,9 +47,14 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
         use_running = (not train) or self.frozen
+        if self.packed > 1:
+            assert use_running, "packed BatchNorm is an eval-only rewrite"
         if use_running:
             scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
             bias = beta - ra_mean.value * scale
+            if self.packed > 1:
+                scale = jnp.tile(scale, self.packed)
+                bias = jnp.tile(bias, self.packed)
             y = x * scale.astype(x.dtype) + bias.astype(x.dtype)
             return y.astype(self.dtype)
         xf = x.astype(jnp.float32)
@@ -92,20 +98,63 @@ class Conv2d(nn.Module):
     """Thin conv wrapper that routes tiny-channel high-res 3×3 convs through
     the space-to-depth packed path (``ops.fastconv`` — ~3× on v5e, see module
     docstring there); everything else through lax conv. Param layout matches
-    nn.Conv ('kernel' HWIO, optional 'bias')."""
+    nn.Conv ('kernel' HWIO, optional 'bias').
+
+    ``mode`` selects an exact layout rewrite for the decoder tail
+    (ops/packed.py; params stay in the logical layout):
+      * 'normal'    — plain NHWC in/out
+      * 's2d_out'   — unpacked input(s), space-to-depth packed output
+      * 'packed_in' — packed input(s) (4× channels), packed output
+      * 'phase_up'  — input is the PRE-upsample map; computes
+                      conv3x3(bilinear_up2(x)) fused, packed output
+    """
 
     features: int
     kernel_size: int = 3
     strides: int = 1
     use_bias: bool = True
     feature_group_count: int = 1
+    mode: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        from ...ops.fastconv import conv3x3_s2d, should_pack
+    def __call__(self, x, scales=None):
+        from ...ops.fastconv import conv3x3_s2d, pack_kernel_3x3, should_pack
+        from ...ops import packed as PK
 
         k = self.kernel_size
+        assert scales is None or self.mode == "s2d_out"
+        if self.mode != "normal":
+            assert k == 3 and self.strides == 1 and self.feature_group_count == 1
+            parts = list(x) if isinstance(x, (list, tuple)) else [x]
+            pf = 4 if self.mode == "packed_in" else 1
+            cin = sum(p.shape[-1] for p in parts) // pf
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (k, k, cin, self.features), jnp.float32)
+            if self.mode == "s2d_out":
+                y = PK.conv3x3_s2d_out(parts, kernel, dtype=self.dtype,
+                                       scales=scales)
+            elif self.mode == "phase_up":
+                assert len(parts) == 1
+                y = PK.phase_upconv_s2d(parts[0], kernel, dtype=self.dtype)
+            else:  # packed_in
+                y = None
+                off = 0
+                for p in parts:
+                    c = p.shape[-1] // 4
+                    kp = pack_kernel_3x3(kernel[:, :, off:off + c]).astype(
+                        self.dtype)
+                    yp = jax.lax.conv_general_dilated(
+                        p.astype(self.dtype), kp, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = yp if y is None else y + yp
+                    off += c
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + PK.tile_channels(bias, 4).astype(y.dtype)
+            return y
         # a list input means "conv over the concat of these parts" computed
         # WITHOUT materializing the concat: conv(cat(a,b), W) =
         # conv(a, W_a) + conv(b, W_b) — ~20% faster on v5e and saves the
@@ -143,28 +192,36 @@ class Conv2d(nn.Module):
 
 class ConvBNReLU(nn.Module):
     """conv → DropBlock → BN → ReLU (the reference Conv2dReLU,
-    unetplusplusstar.py:22-63)."""
+    unetplusplusstar.py:22-63). ``mode`` (eval-only layout rewrite, see
+    Conv2d): for non-'normal' modes the output is s2d-packed and BN runs
+    with packed=4."""
 
     features: int
     kernel_size: int = 3
     strides: int = 1
     use_batchnorm: bool = True
     drop_block_prob: float = 0.1
+    mode: str = "normal"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, scales=None):
         x = Conv2d(
             self.features,
             kernel_size=self.kernel_size,
             strides=self.strides,
             use_bias=not self.use_batchnorm,
+            mode=self.mode,
             dtype=self.dtype,
             name="conv",
-        )(x)
-        x = DropBlock2d(self.drop_block_prob, block_size=7)(x, train)
+        )(x, scales=scales)
+        if self.mode == "normal":
+            x = DropBlock2d(self.drop_block_prob, block_size=7)(x, train)
+        else:
+            assert not train, "packed ConvBNReLU is an eval-only rewrite"
         if self.use_batchnorm:
-            x = BatchNorm(dtype=self.dtype)(x, train)
+            x = BatchNorm(dtype=self.dtype,
+                          packed=1 if self.mode == "normal" else 4)(x, train)
         return nn.relu(x)
 
 
@@ -197,10 +254,22 @@ class SCSEAttention(nn.Module):
     """
 
     reduction: int = 16
+    packed: int = 1  # 4: input is one s2d-packed tensor, params logical
+    # return_gates: return (channel_gate (N,1,1,C), spatial_gate (N,H,W,1))
+    # instead of gated parts — the fast tail path fuses the multiply into the
+    # following conv's input instead of materializing gated maps.
+    return_gates: bool = False
+    # up_part0: part 0 is the PRE-×2-upsample map: its pooled mean equals the
+    # upsampled map's (bilinear columns sum to 2) and its sSE contribution is
+    # upsampled after the 1×1 conv (conv1x1 ∘ up2 == up2 ∘ conv1x1) — the big
+    # upsampled tensor is never read for gate computation. Exact.
+    up_part0: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.packed > 1:
+            return self._packed_call(x)
         parts = list(x) if isinstance(x, (list, tuple)) else None
         xs = parts if parts is not None else [x]
         c = sum(p.shape[-1] for p in xs)
@@ -217,15 +286,19 @@ class SCSEAttention(nn.Module):
         bias = self.param("sse_bias", nn.initializers.zeros, (1,), jnp.float32)
         t = None
         offset = 0
-        for p in xs:
+        for i, p in enumerate(xs):
             cp = p.shape[-1]
             tp = jax.lax.conv_general_dilated(
                 p.astype(self.dtype),
                 kernel[:, :, offset:offset + cp].astype(self.dtype),
                 (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if i == 0 and self.up_part0:
+                tp = upsample2x(tp)
             t = tp if t is None else t + tp
             offset += cp
         gate_s = jax.nn.sigmoid(t + bias.astype(t.dtype))
+        if self.return_gates:
+            return jax.nn.sigmoid(s), gate_s
         if parts is None:
             return x * (jax.nn.sigmoid(s) + gate_s)
         out = []
@@ -237,19 +310,49 @@ class SCSEAttention(nn.Module):
             offset += cp
         return out
 
+    def _packed_call(self, xp):
+        """scse on an s2d-packed map with the logical parameters — exactly
+        d2s ∘ scse ∘ s2d (eval layout rewrite for the decoder tail)."""
+        from ...ops import packed as PK
+
+        n, h, w, cf = xp.shape
+        c = cf // self.packed
+        m = PK.packed_spatial_mean(xp, self.packed).astype(xp.dtype)
+        s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32)(m)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        kernel = self.param("sse_kernel", nn.initializers.lecun_normal(),
+                            (1, 1, c, 1), jnp.float32)
+        bias = self.param("sse_bias", nn.initializers.zeros, (1,), jnp.float32)
+        t = PK.packed_spatial_gate(xp.astype(self.dtype),
+                                   kernel.astype(self.dtype), bias,
+                                   self.packed)
+        gate_s = jax.nn.sigmoid(t)                        # (n,h,w,packed)
+        gate_c = jax.nn.sigmoid(s)                        # (n,1,1,c)
+        y = (xp.reshape(n, h, w, self.packed, c)
+             * (gate_c[:, :, :, None, :].astype(xp.dtype)
+                + gate_s[..., None].astype(xp.dtype)))
+        return y.reshape(n, h, w, cf)
+
 
 class Attention(nn.Module):
     """smp-style attention dispatcher: None → identity, 'scse' → SCSE."""
 
     attention_type: Optional[str] = None
+    packed: int = 1
+    return_gates: bool = False
+    up_part0: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         if self.attention_type is None:
-            return x
+            return (None, None) if self.return_gates else x
         if self.attention_type == "scse":
-            return SCSEAttention(dtype=self.dtype)(x)
+            return SCSEAttention(packed=self.packed,
+                                 return_gates=self.return_gates,
+                                 up_part0=self.up_part0, dtype=self.dtype)(x)
         raise ValueError(f"Unknown attention type {self.attention_type}")
 
 
@@ -375,17 +478,26 @@ class DoubleConv(nn.Module):
 
 
 class SegmentationHead(nn.Module):
-    """kxk conv (+ optional upsampling) to class logits (unetplusplusstar.py:163-168)."""
+    """kxk conv (+ optional upsampling) to class logits (unetplusplusstar.py:163-168).
+
+    ``packed_in=True``: input is the s2d-packed final decoder map (eval
+    layout rewrite); the packed conv output is unpacked back to logical."""
 
     classes: int = 1
     kernel_size: int = 3
     upsampling: int = 1
+    packed_in: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = Conv2d(self.classes, kernel_size=self.kernel_size,
-                   use_bias=True, dtype=self.dtype, name="conv")(x)
+                   use_bias=True, dtype=self.dtype,
+                   mode="packed_in" if self.packed_in else "normal",
+                   name="conv")(x)
+        if self.packed_in:
+            from ...ops.packed import depth_to_space
+            x = depth_to_space(x)
         if self.upsampling > 1:
             n, h, w, c = x.shape
             x = jax.image.resize(x, (n, h * self.upsampling, w * self.upsampling, c), "bilinear")

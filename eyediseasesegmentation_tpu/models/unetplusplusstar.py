@@ -34,10 +34,18 @@ class UnetPlusPlusStar(nn.Module):
     deep_supervision: bool = False
     drop_block_prob: float = 0.1
     clf_head: bool = False
+    # eval-only s2d-packed rewrite of the decoder tail (ops/packed.py);
+    # None = auto (enabled on TPU). Exact up to float reassociation.
+    fast_inference: Optional[bool] = None
+    fast_min_res: int = 512
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax
+
+        fast = (jax.default_backend() == "tpu"
+                if self.fast_inference is None else self.fast_inference)
         encoder, enc_channels = get_encoder(
             self.encoder_name, base_dim=self.base_dim, dtype=self.dtype)
         features = encoder(x, train)
@@ -55,11 +63,17 @@ class UnetPlusPlusStar(nn.Module):
             deep_supervision=self.deep_supervision,
             star=True,
             drop_block_prob=self.drop_block_prob,
+            fast_inference=fast,
+            fast_min_res=self.fast_min_res,
+            packed_final=True,
             dtype=self.dtype,
             name="decoder",
         )(features, train)
 
-        seg_head = SegmentationHead(self.classes, kernel_size=3, dtype=self.dtype,
+        final_map = decoder_out[0] if self.deep_supervision else decoder_out
+        packed_final = final_map.shape[1] != x.shape[1]  # s2d-packed handoff
+        seg_head = SegmentationHead(self.classes, kernel_size=3,
+                                    packed_in=packed_final, dtype=self.dtype,
                                     name="segmentation_head")
         if self.deep_supervision:
             final, deeps = decoder_out

@@ -1,0 +1,209 @@
+"""Space-to-depth packed conv rewrites for the high-res decoder tail.
+
+The UNet++ tail (nodes at 512²/1024² with 16-64 output channels) runs at
+3-25 TF/s under plain XLA on TPU v5e: output channels < 128 waste MXU lanes
+and every elementwise pass over a lane-padded map costs 8× its logical bytes
+(PERFORMANCE.md roofline). These transforms re-express the same math with
+≥128-channel operands:
+
+* ``conv3x3_s2d_out``  —  3×3 SAME conv emitted directly in space-to-depth
+  packed layout: one stride-2 4×4 conv whose kernel holds the four output
+  phases' 3×3 taps. Exactly ``space_to_depth(conv3x3_same(x, k))``.
+* ``phase_upconv_s2d`` —  the fusion conv3×3(bilinear_up2(x)) computed at
+  INPUT resolution as one 3×3 conv to 4·cout channels (each output phase of
+  the ×2-upsampled conv is a 3-tap filter of x per dim), plus exact border
+  strips for the bilinear edge clamp / zero-pad interaction. Exactly
+  ``space_to_depth(conv3x3_same(upsample2x(x), k))`` and ~4× faster than
+  materializing the upsample (measured 16.1 → 4.1 ms at the flagship's
+  x_1_3 shape).
+* packed param/gate helpers for running BN / scSE on packed tensors with the
+  logical (unpacked) parameters.
+
+Packed layout convention (matches ``ops.fastconv.space_to_depth``): packed
+channel index = (a·2 + b)·C + c for intra-block offset (a, b) — i.e. the
+logical channel axis is tiled four times, phase-major.
+
+Reference parity: these rewrite the decode blocks of
+reference ``src/main/archs/unetplusplusstar.py:71-161`` bit-for-bit (up to
+float reassociation); exactness is pinned by tests/test_packed_tail.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fastconv import depth_to_space, space_to_depth  # noqa: F401 (re-export)
+
+# Per-dim composition matrices: row s∈{-1,0,1} (tap on x), col p∈{0,1,2}
+# (logical 3-tap kernel index), for output phase a of conv3x3(bilinear_up2):
+#   y[2i+a] = Σ_s Σ_p A_a[s,p]·W[p]·x[i+s]   (interior rows)
+_A0 = np.array([[0.75, 0.25, 0.0],
+                [0.25, 0.75, 0.75],
+                [0.0, 0.0, 0.25]], np.float32)
+_A1 = np.array([[0.25, 0.0, 0.0],
+                [0.75, 0.75, 0.25],
+                [0.0, 0.25, 0.75]], np.float32)
+
+
+def make_stride2_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,cin,cout) HWIO → (4,4,cin,4·cout) stride-2 kernel.
+
+    out[I,J,(a·2+b)·cout+co] of the stride-2 conv (padding (1,2)) equals
+    conv3x3_same(x)[2I+a, 2J+b, co]: tap (r,c) = (a+dy+1, b+dx+1)."""
+    cin, cout = k3.shape[2], k3.shape[3]
+    k4 = jnp.zeros((4, 4, cin, 4 * cout), k3.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            g = a * 2 + b
+            k4 = k4.at[a:a + 3, b:b + 3, :, g * cout:(g + 1) * cout].set(k3)
+    return k4
+
+
+def conv3x3_s2d_out(parts, k3: jnp.ndarray, dtype=jnp.bfloat16,
+                    scales=None) -> jnp.ndarray:
+    """3×3 SAME conv over the (virtual) concat of ``parts``, output packed.
+
+    parts: list of (N,H,W,Ci) with even H,W; k3: (3,3,ΣCi,cout).
+    ``scales``: optional per-part elementwise multipliers (broadcastable to
+    the part) applied on the fly — XLA fuses them into the conv input, so a
+    gated conv costs the same as a plain one (measured 11.1 vs 10.9 ms at
+    the x_1_3 shape). Returns (N,H/2,W/2,4·cout) ==
+    space_to_depth(conv3x3_same(cat(scaled parts), k3))."""
+    parts = list(parts) if isinstance(parts, (list, tuple)) else [parts]
+    y = None
+    off = 0
+    for i, p in enumerate(parts):
+        c = p.shape[-1]
+        if scales is not None and scales[i] is not None:
+            p = p * scales[i].astype(p.dtype)
+        k4 = make_stride2_kernel(k3[:, :, off:off + c]).astype(dtype)
+        yp = jax.lax.conv_general_dilated(
+            p.astype(dtype), k4, window_strides=(2, 2),
+            padding=((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = yp if y is None else y + yp
+        off += c
+    return y
+
+
+def make_phase_up_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,cin,cout) → (3,3,cin,4·cout) phase kernel K_ph with
+    conv3x3_same(K_ph)(x)[i,j,(a·2+b)·cout+co] ==
+    conv3x3_same(k3)(bilinear_up2(x))[2i+a, 2j+b, co] at interior pixels."""
+    a_mats = (jnp.asarray(_A0), jnp.asarray(_A1))
+    cout = k3.shape[3]
+    blocks = []
+    for a in (0, 1):
+        for b in (0, 1):
+            blocks.append(jnp.einsum("sp,tq,pqio->stio",
+                                     a_mats[a], a_mats[b],
+                                     k3.astype(jnp.float32)))
+    return jnp.concatenate(blocks, axis=-1).astype(k3.dtype)
+
+
+def _up2_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear ×2 along axis 1 (edge clamp, half-pixel centers)."""
+    from ..models.modules.layers import _up2_matrix
+    U = jnp.asarray(_up2_matrix(x.shape[1]), jnp.float32)
+    return jnp.einsum("Hh,nhwc->nHwc", U, x.astype(jnp.float32))
+
+
+def _up2_cols(x: jnp.ndarray) -> jnp.ndarray:
+    return _up2_rows(x.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+
+
+def _conv3x3(x, k, dtype):
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def phase_upconv_s2d(x: jnp.ndarray, k3: jnp.ndarray,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """space_to_depth(conv3x3_same(bilinear_up2(x), k3)), computed at input
+    resolution: interior via the phase kernel, borders (where the bilinear
+    edge clamp and the conv zero-pad interact) via exact 2-pixel strips.
+
+    x: (N,H,W,cin); returns (N,H,W,4·cout)."""
+    n, h, w, cin = x.shape
+    cout = k3.shape[3]
+    kph = make_phase_up_kernel(k3).astype(dtype)
+    y = _conv3x3(x, kph, dtype)  # (n,h,w,4cout), interior-exact
+
+    k3d = k3.astype(dtype)
+
+    # --- top/bottom: logical output rows {0,1} and {2h-2, 2h-1} ---
+    # need up rows -1..2 (zero at -1) and 2h-3..2h (zero at 2h)
+    u_top = _up2_cols(_up2_rows(x[:, :3])[:, :3])   # up rows 0..2, full width
+    u_top = jnp.pad(u_top, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    # width: SAME zero-pad; rows: VALID over the 4-row slab → 2 rows out
+    y_top = jax.lax.conv_general_dilated(
+        u_top.astype(dtype), k3d, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    u_bot = _up2_cols(_up2_rows(x[:, -3:])[:, -3:])
+    u_bot = jnp.pad(u_bot, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    y_bot = jax.lax.conv_general_dilated(
+        u_bot.astype(dtype), k3d, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.at[:, :1].set(space_to_depth(y_top))
+    y = y.at[:, -1:].set(space_to_depth(y_bot))
+
+    # --- left/right: logical cols {0,1}, {2w-2, 2w-1}, full height (corners
+    # included, so column strips must come after row strips) ---
+    xl = x[:, :, :3].transpose(0, 2, 1, 3)
+    u_l = _up2_rows(_up2_rows(xl)[:, :3].transpose(0, 2, 1, 3))  # (n,2h,3,cin)
+    u_l = jnp.pad(u_l.astype(dtype), ((0, 0), (0, 0), (1, 0), (0, 0)))
+    y_l = jax.lax.conv_general_dilated(
+        u_l, k3d, (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xr = x[:, :, -3:].transpose(0, 2, 1, 3)
+    u_r = _up2_rows(_up2_rows(xr)[:, -3:].transpose(0, 2, 1, 3))
+    u_r = jnp.pad(u_r.astype(dtype), ((0, 0), (0, 0), (0, 1), (0, 0)))
+    y_r = jax.lax.conv_general_dilated(
+        u_r, k3d, (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.at[:, :, :1].set(space_to_depth(y_l))
+    y = y.at[:, :, -1:].set(space_to_depth(y_r))
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Packed-tensor helpers (logical params on packed data)
+# ---------------------------------------------------------------------------
+
+def tile_channels(v: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """Per-logical-channel vector → packed channels ((a,b,C) phase-major)."""
+    return jnp.tile(v, factor)
+
+
+def packed_spatial_mean(xp: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """(N,H,W,factor·C) packed → (N,1,1,C) logical spatial mean (exact:
+    each phase group holds an equal share of the logical pixels)."""
+    n = xp.shape[0]
+    c = xp.shape[-1] // factor
+    m = jnp.mean(xp.astype(jnp.float32), axis=(1, 2))  # (N, factor*C)
+    return m.reshape(n, factor, c).mean(axis=1).reshape(n, 1, 1, c)
+
+
+def packed_spatial_gate(xp: jnp.ndarray, kernel: jnp.ndarray,
+                        bias: jnp.ndarray, factor: int = 4) -> jnp.ndarray:
+    """1×1 conv (C→1) of the LOGICAL map, evaluated on packed data:
+    returns the per-phase gate (N,H,W,factor). kernel: (1,1,C,1)."""
+    n, h, w, cf = xp.shape
+    c = cf // factor
+    k = kernel.reshape(c).astype(xp.dtype)
+    t = jnp.einsum("nhwgc,c->nhwg", xp.reshape(n, h, w, factor, c), k)
+    return t + bias.astype(t.dtype)
+
+
+def mul_per_phase(xp: jnp.ndarray, gate: jnp.ndarray,
+                  factor: int = 4) -> jnp.ndarray:
+    """Multiply packed (N,H,W,factor·C) by a per-phase gate (N,H,W,factor)."""
+    n, h, w, cf = xp.shape
+    c = cf // factor
+    y = xp.reshape(n, h, w, factor, c) * gate[..., None].astype(xp.dtype)
+    return y.reshape(n, h, w, cf)

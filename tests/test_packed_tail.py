@@ -1,0 +1,140 @@
+"""Exactness tests for the packed decoder-tail rewrites (ops/packed.py).
+
+Every transform must reproduce the plain composition bit-for-bit in fp32 (up
+to reassociation): these rewrites change the layout/schedule of the flagship's
+hot path, not its math (reference unetplusplusstar.py:71-161 semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eyediseasesegmentation_tpu.ops import packed as P
+from eyediseasesegmentation_tpu.ops.fastconv import (depth_to_space,
+                                                     space_to_depth)
+
+
+def conv3x3(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def up2(x):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [(16, 16, 7, 5), (8, 12, 3, 4)])
+def test_conv3x3_s2d_out_exact(h, w, cin, cout):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
+    ref = space_to_depth(conv3x3(x, k))
+    got = P.conv3x3_s2d_out([x], k, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_s2d_out_virtual_concat():
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.randn(2, 8, 8, 5), jnp.float32)
+    b = jnp.asarray(rng.randn(2, 8, 8, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 6), jnp.float32)
+    ref = space_to_depth(conv3x3(jnp.concatenate([a, b], -1), k))
+    got = P.conv3x3_s2d_out([a, b], k, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (6, 10), (4, 4)])
+def test_phase_upconv_exact_incl_borders(h, w):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, h, w, 6), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 6, 4), jnp.float32)
+    ref = space_to_depth(conv3x3(up2(x), k))
+    got = P.phase_upconv_s2d(x, k, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_helpers_roundtrip_and_gates():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 12), jnp.float32)
+    xp = space_to_depth(x)
+    # spatial mean matches the logical mean
+    np.testing.assert_allclose(
+        np.asarray(P.packed_spatial_mean(xp)),
+        np.asarray(jnp.mean(x, axis=(1, 2), keepdims=True)),
+        rtol=1e-5, atol=1e-6)
+    # per-phase 1x1 spatial gate matches the logical 1x1 conv
+    k = jnp.asarray(rng.randn(1, 1, 12, 1), jnp.float32)
+    bias = jnp.asarray([0.3], jnp.float32)
+    t_ref = conv3x3(x, jnp.zeros((3, 3, 12, 1)).at[1, 1].set(k[0, 0])) + bias
+    t_got = P.packed_spatial_gate(xp, k, bias)
+    np.testing.assert_allclose(np.asarray(depth_to_space(t_got)),
+                               np.asarray(t_ref), rtol=1e-5, atol=1e-5)
+    # per-phase multiply == logical elementwise multiply
+    g = jnp.asarray(rng.randn(2, 4, 4, 4), jnp.float32)
+    y = P.mul_per_phase(xp, g)
+    ref = x * depth_to_space(g)
+    np.testing.assert_allclose(np.asarray(depth_to_space(y)), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # channel tiling: packed index (phase-major) picks the logical channel
+    v = jnp.arange(12.0)
+    tiled = P.tile_channels(v)
+    assert tiled.shape == (48,)
+    np.testing.assert_array_equal(np.asarray(tiled[13]), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Module-level: fast (packed) path vs normal path with the SAME parameters
+# ---------------------------------------------------------------------------
+
+def _init_apply(mod_a, mod_b, args, rngs=None):
+    rngs = rngs or {"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}
+    va = mod_a.init(rngs, *args, train=False)
+    ya = mod_a.apply(va, *args, train=False)
+    yb = mod_b.apply(va, *args, train=False)
+    return ya, yb
+
+
+def test_decoder_block_fast_exact_scse():
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    skips = [jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32),
+             jnp.asarray(rng.randn(2, 16, 16, 10), jnp.float32)]
+    kw = dict(in_channels=24, skip_channels=16, out_channels=12,
+              attention_type="scse", drop_block_prob=0.1, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, **kw)
+    ys, yf = _init_apply(slow, fast, (x, skips))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_block_fast_exact_noskip():
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    kw = dict(in_channels=24, skip_channels=0, out_channels=12,
+              attention_type="scse", drop_block_prob=0.1, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, **kw)
+    ys, yf = _init_apply(slow, fast, (x, None))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flagship_fast_inference_exact():
+    """Full UnetPlusPlusStar: packed-tail eval == normal eval (fp32, CPU)."""
+    from eyediseasesegmentation_tpu.models.unetplusplusstar import UnetPlusPlusStar
+    kw = dict(encoder_name="BoTSER50_Axial_Imagenet_3", base_dim=2,
+              decoder_attention_type="scse", classes=1, dtype=jnp.float32)
+    slow = UnetPlusPlusStar(fast_inference=False, **kw)
+    fast = UnetPlusPlusStar(fast_inference=True, fast_min_res=8, **kw)
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 64, 64, 3), jnp.float32)
+    ys, yf = _init_apply(slow, fast, (x,))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=5e-4, atol=5e-4)
