@@ -108,6 +108,10 @@ class TTAPredictor:
     mesh: Optional[Any] = None  # jax Mesh: shard the fused view batch over
                                 # 'data' (d4's 8 views map onto 8 chips; the
                                 # mean is a psum XLA inserts)
+    # largest monolithic forward resolution for the multiscale alias; scales
+    # whose upsampled size exceeds it run tiled (HBM cap: scale 4 at
+    # scale_size 1024 would be a 4096² forward)
+    multiscale_max_res: int = 2048
 
     def __post_init__(self):
         cfg = self.config
@@ -128,15 +132,44 @@ class TTAPredictor:
             out = out[0]
         return jax.nn.sigmoid(out.astype(jnp.float32))[..., 0]
 
+    def _scaled_probs_tiled(self, imgs, s):
+        """Scale-s (>1) multiscale leg without materializing the (B, sS, sS)
+        activations: the virtually-upsampled image is processed as s² S-sized
+        tiles inside one ``lax.scan`` (each tile sliced straight from the
+        ORIGINAL image via ``scale_and_translate`` — bit-exact equal to
+        resize-then-slice), predictions pasted into a 1-channel canvas and
+        downscaled back. The monolithic path OOMs at scale_size 1024, scale 4
+        (a 4096² forward); per-tile forwards == the whole-image forward only
+        up to the model's receptive-field truncation at tile seams — the same
+        deviation tiled inference (tta_patches) already carries."""
+        n, h, w, c = imgs.shape
+        offs = jnp.array([(i * h, j * w) for i in range(s) for j in range(s)],
+                         jnp.float32)
+        canvas = jnp.zeros((n, s * h, s * w), jnp.float32)
+
+        def body(canvas, off):
+            tile = jax.image.scale_and_translate(
+                imgs, (n, h, w, c), (1, 2),
+                jnp.array([s, s], jnp.float32), -off, method="linear")
+            p = self._forward(tile)
+            return jax.lax.dynamic_update_slice(
+                canvas, p, (0, off[0].astype(jnp.int32),
+                            off[1].astype(jnp.int32))), None
+
+        canvas, _ = jax.lax.scan(body, canvas, offs)
+        return jax.image.resize(canvas, (n, h, w), "bilinear")
+
     def _tta_probs(self, imgs):
         """imgs (B, S, S, C) normalized -> mean TTA probs (B, S, S)."""
         if self.tta == "multiscale":
             acc = 0.0
             for s in MULTISCALE_SCALES:
+                n, h, w, c = imgs.shape
                 if s == 1:
                     p = self._forward(imgs)
+                elif s * max(h, w) > self.multiscale_max_res:
+                    p = self._scaled_probs_tiled(imgs, s)
                 else:
-                    n, h, w, c = imgs.shape
                     up = jax.image.resize(imgs, (n, h * s, w * s, c), "bilinear")
                     p = self._forward(up)
                     p = jax.image.resize(p, (n, h, w), "bilinear")

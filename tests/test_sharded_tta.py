@@ -63,3 +63,44 @@ def test_sharded_d4_matches_single_device(small_model):
     p_sharded = np.asarray(sharded.predict(x))
 
     np.testing.assert_allclose(p_sharded, p_single, rtol=1e-5, atol=1e-5)
+
+
+class _PointwiseModel:
+    """Local (1×1) model: per-tile forward == whole-image forward, so the
+    tiled multiscale path must match the monolithic path exactly."""
+
+    def init(self, rngs, x, train=False):
+        return {}
+
+    def apply(self, variables, x, train=False):
+        w = jnp.asarray([0.02, -0.03, 0.01], jnp.float32)
+        return (x @ w[:, None]) - 0.5
+
+
+def test_tiled_multiscale_matches_monolithic():
+    """Scales over multiscale_max_res run tiled (lax.scan over s² tiles,
+    scale_and_translate slicing); for a pointwise model this is exactly the
+    monolithic resize->forward->resize leg."""
+    model = _PointwiseModel()
+    cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": 32}
+    x = np.random.RandomState(2).rand(1, 32, 32, 3).astype(np.float32) * 255
+    mono = TTAPredictor(model, {}, cfg, tta="multiscale", ori_hw=(32, 32),
+                        multiscale_max_res=1 << 20)
+    tiled = TTAPredictor(model, {}, cfg, tta="multiscale", ori_hw=(32, 32),
+                         multiscale_max_res=32)  # every s>1 leg goes tiled
+    np.testing.assert_allclose(np.asarray(tiled.predict(x)),
+                               np.asarray(mono.predict(x)), atol=1e-6)
+
+
+def test_tiled_multiscale_real_model_valid():
+    model = zoo.get_model("classic_unet", {"filters": (8, 16)})
+    xin = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, xin, train=False)
+    cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": 32}
+    x = np.random.RandomState(3).rand(1, 32, 32, 3).astype(np.float32) * 255
+    p = np.asarray(TTAPredictor(model, variables, cfg, tta="multiscale",
+                                ori_hw=(32, 32),
+                                multiscale_max_res=32).predict(x))
+    assert p.shape == (1, 32, 32)
+    assert 0.0 <= p.min() and p.max() <= 1.0 and p.std() > 0

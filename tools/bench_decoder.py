@@ -46,8 +46,12 @@ def main():
             packed_final=True, dtype=dt)
         variables = jax.jit(partial(dec.init, train=False))(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, feats)
-        t = timer(lambda f0, v, rest=feats[1:]: dec.apply(
-            v, [f0] + list(rest), train=False), feats[0], variables)
+        # NOTE: the carry is written into args[0], which must be an input the
+        # decoder CONSUMES (it drops features[0], the raw image) or XLA
+        # hoists the whole decoder out of the timing loop
+        t = timer(lambda c0, x0, *a: dec.apply(
+            a[-1], [x0, c0] + list(a[:-1]), train=False),
+            feats[1], feats[0], *feats[2:], variables)
         print(f"decoder fast={fast}: {t * 1e3:.1f} ms", flush=True)
 
 
