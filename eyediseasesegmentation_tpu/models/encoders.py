@@ -88,6 +88,27 @@ class Bottleneck(nn.Module):
         return nn.relu(y + x)
 
 
+class _StemConv(nn.Module):
+    """7×7 stride-2 stem conv with the same param tree as nn.Conv
+    ('kernel', HWIO) and an exact s2d fast path (ops/packed.stem7_s2d)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, fast: bool = False):
+        import jax as _jax
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, x.shape[-1], self.features), jnp.float32)
+        if fast:
+            from ..ops.packed import stem7_s2d
+            return stem7_s2d(x, kernel, dtype=self.dtype)
+        return _jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (2, 2),
+            ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNetEncoder(nn.Module):
     """Generic ResNet-family encoder producing the 6-level feature pyramid."""
 
@@ -102,6 +123,9 @@ class ResNetEncoder(nn.Module):
     # ResNeXt-32x4d family (torch width = planes*(4/64)*32 = 2*planes) —
     # required for pretrained se_resnext weight import to be shape-exact
     width_factor: float = 1.0
+    # eval-only exact s2d rewrite of the 7×7/2 stem (ops/packed.stem7_s2d,
+    # ~10→~2 ms on v5e at 8×1024²); None = auto (enabled on TPU)
+    fast_inference: Any = None
     dtype: Dtype = jnp.float32
 
     @property
@@ -114,12 +138,16 @@ class ResNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import jax as _jax
+
         feats = [x]
+        fast = (_jax.default_backend() == "tpu"
+                if self.fast_inference is None else self.fast_inference)
+        fast = fast and not train and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         # stem: conv7x7 s2 + BN + ReLU (pool applied before stage 1, feature
         # extracted pre-pool — reference unetplusplusstar.py:286-287)
-        y = nn.Conv(self.stem_width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="stem_conv")(x)
+        y = _StemConv(self.stem_width, dtype=self.dtype,
+                      name="stem_conv")(x, fast)
         y = BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name="stem_bn")(y, train)
         y = nn.relu(y)
         feats.append(y)
@@ -157,6 +185,7 @@ class BoTSER50Encoder(nn.Module):
     use_axial: bool = True
     num_transblocks: int = 3  # kept for config parity (layer4 depth is fixed at 3)
     pretrained: bool = False
+    fast_inference: Any = None  # s2d stem rewrite; None = auto (TPU)
     dtype: Dtype = jnp.float32
 
     out_channels: Tuple[int, ...] = (3, 64, 256, 512, 1024, 2048)
@@ -165,7 +194,8 @@ class BoTSER50Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         backbone = ResNetEncoder(
             stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True,
-            num_stages=3, frozen_bn=self.pretrained, dtype=self.dtype,
+            num_stages=3, frozen_bn=self.pretrained,
+            fast_inference=self.fast_inference, dtype=self.dtype,
             name="seresnet",
         )
         feats = backbone(x, train)  # [x, c0, c1(256,/4), c2(512,/8), c3(1024,/16)]
@@ -242,14 +272,17 @@ RESNET_CONFIGS = {
 
 
 def get_encoder(name: str, base_dim: int = 32, frozen_bn: bool = False,
-                dtype: Dtype = jnp.float32, module_name: str = "encoder"):
+                dtype: Dtype = jnp.float32, module_name: str = "encoder",
+                fast_inference=None):
     """Build an encoder module + its out_channels list by registry name."""
     if name in ENCODER_CONFIGS:
         cfg = ENCODER_CONFIGS[name]
-        enc = BoTSER50Encoder(base_dim=base_dim, dtype=dtype, name=module_name, **cfg)
+        enc = BoTSER50Encoder(base_dim=base_dim, dtype=dtype, name=module_name,
+                              fast_inference=fast_inference, **cfg)
         return enc, list(enc.out_channels)
     if name in RESNET_CONFIGS:
         enc = ResNetEncoder(frozen_bn=frozen_bn, dtype=dtype, name=module_name,
+                            fast_inference=fast_inference,
                             **RESNET_CONFIGS[name])
         return enc, enc.out_channels
     if name in ("efficientnet-b0", "efficientnet-b2", "efficientnet-b4"):

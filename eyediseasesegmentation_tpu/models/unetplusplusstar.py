@@ -47,7 +47,8 @@ class UnetPlusPlusStar(nn.Module):
         fast = (jax.default_backend() == "tpu"
                 if self.fast_inference is None else self.fast_inference)
         encoder, enc_channels = get_encoder(
-            self.encoder_name, base_dim=self.base_dim, dtype=self.dtype)
+            self.encoder_name, base_dim=self.base_dim, dtype=self.dtype,
+            fast_inference=fast)
         features = encoder(x, train)
 
         clf = None

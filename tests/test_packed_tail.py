@@ -138,3 +138,33 @@ def test_flagship_fast_inference_exact():
     ys, yf = _init_apply(slow, fast, (x,))
     np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_stem7_s2d_exact():
+    """s2d stem == lax 7x7/2 conv with 3-pixel zero pad."""
+    from eyediseasesegmentation_tpu.ops.packed import stem7_s2d
+    import jax
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 12, 3), jnp.float32)
+    k7 = jnp.asarray(rng.randn(7, 7, 3, 8), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k7, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = stem7_s2d(x, k7, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_encoder_stem_fast_exact():
+    from eyediseasesegmentation_tpu.models.encoders import ResNetEncoder
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    kw = dict(stage_sizes=(1, 1), block="basic", num_stages=2,
+              dtype=jnp.float32)
+    slow = ResNetEncoder(fast_inference=False, **kw)
+    fast = ResNetEncoder(fast_inference=True, **kw)
+    ys, yf = _init_apply(slow, fast, (x,))
+    for a, b in zip(jax.tree_util.tree_leaves(ys),
+                    jax.tree_util.tree_leaves(yf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
