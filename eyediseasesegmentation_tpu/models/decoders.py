@@ -35,17 +35,24 @@ class DecoderBlock(nn.Module):
     drop_block_prob: float = 0.1
     fast_tail: bool = False    # eval-only s2d-packed rewrite (ops/packed.py)
     keep_packed: bool = False  # fast path: skip the final depth_to_space
+    packed_input: int = 1      # 4: x arrives s2d-packed (no-skip fast only)
     dtype: Dtype = jnp.float32
 
     def _fast_call(self, x, skip, train):
         """Same math as the normal path, emitted in s2d-packed layout: the
         tail nodes (cout < 128 at ≥512²) run at 3-25 TF/s in plain NHWC on
         v5e (lane padding + N<128 MXU waste); packed they use full lanes.
-        Parameters and module names are identical to the normal path."""
+        Parameters and module names are identical to the normal path.
+
+        ``packed_input=4`` (no-skip nodes): x is already s2d-packed and the
+        whole node runs double-packed (factor 16) — the flagship's final
+        x_0_3→x_0_4 chain then never materializes a <128-lane map."""
         from ..ops.packed import depth_to_space
 
         assert not train and not self.use_catt
+        pf = 4 * self.packed_input
         if skip is not None:
+            assert self.packed_input == 1
             skips = list(skip) if isinstance(skip, (list, tuple)) else [skip]
             # gates computed WITHOUT touching the upsampled map (up_part0:
             # mean/conv1x1 commute with bilinear up2 — exact), then fused
@@ -68,15 +75,19 @@ class DecoderBlock(nn.Module):
         else:
             y = ConvBNReLU(self.out_channels, 3,
                            drop_block_prob=self.drop_block_prob,
-                           mode="phase_up", dtype=self.dtype, name="conv1")(
-                               x, train)
+                           mode="phase_up", packed_factor=pf,
+                           dtype=self.dtype, name="conv1")(x, train)
         y = ConvBNReLU(self.out_channels, 3,
                        drop_block_prob=self.drop_block_prob,
-                       mode="packed_in", dtype=self.dtype, name="conv2")(
-                           y, train)
-        y = Attention(self.attention_type, packed=4, dtype=self.dtype,
+                       mode="packed_in", packed_factor=pf,
+                       dtype=self.dtype, name="conv2")(y, train)
+        y = Attention(self.attention_type, packed=pf, dtype=self.dtype,
                       name="attention2")(y)
-        return y if self.keep_packed else depth_to_space(y)
+        if self.keep_packed:
+            return y
+        for _ in range(pf.bit_length() // 2):
+            y = depth_to_space(y)
+        return y
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
@@ -242,6 +253,7 @@ class UnetPlusPlusDecoder(nn.Module):
             dense[f"x_{d}_{d}"] = make_block(d, d, fast)(
                 feats[d], feats[d + 1], train)
         # layers 1..depth-1: dense connections (l.249-257)
+        prod_packed = False
         for layer_idx in range(1, depth):
             for depth_idx in range(depth - layer_idx):
                 li = depth_idx + layer_idx
@@ -252,16 +264,30 @@ class UnetPlusPlusDecoder(nn.Module):
                 xin = dense[f"x_{depth_idx}_{li - 1}"]
                 fast = node_fast(xin, cat, node_out_ch(depth_idx, li),
                                  self.star and li in (0, 1))
-                dense[f"x_{depth_idx}_{li}"] = make_block(depth_idx, li, fast)(
-                    xin, cat, train)
+                keep = False
+                if depth_idx == 0 and li == depth - 1 and fast:
+                    # the final x_0_depth block consumes this node alone: if
+                    # both run fast, hand it over s2d-packed (the <128-lane
+                    # logical map is then never materialized)
+                    h2, w2 = 2 * xin.shape[1], 2 * xin.shape[2]
+                    keep = bool(out_channels[-1] < 128
+                                and 2 * h2 >= self.fast_min_res
+                                and h2 >= 4 and w2 >= 4)
+                    prod_packed = keep
+                dense[f"x_{depth_idx}_{li}"] = make_block(
+                    depth_idx, li, fast, keep_packed=keep)(xin, cat, train)
         # final no-skip block x_0_depth (l.237,259)
         xin = dense[f"x_0_{depth - 1}"]
-        fast = node_fast(xin, [], out_channels[-1], False)
+        if prod_packed:
+            fast = True
+        else:
+            fast = node_fast(xin, [], out_channels[-1], False)
         dense[f"x_0_{depth}"] = DecoderBlock(
             in_channels[-1], 0, out_channels[-1], base_dim=self.base_dim,
             attention_type=self.attention_type,
             drop_block_prob=self.drop_block_prob, fast_tail=fast,
-            keep_packed=fast and self.packed_final, dtype=self.dtype,
+            keep_packed=fast and self.packed_final,
+            packed_input=4 if prod_packed else 1, dtype=self.dtype,
             name=f"x_0_{depth}",
         )(xin, None, train)
 

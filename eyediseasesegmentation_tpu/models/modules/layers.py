@@ -104,9 +104,13 @@ class Conv2d(nn.Module):
     (ops/packed.py; params stay in the logical layout):
       * 'normal'    — plain NHWC in/out
       * 's2d_out'   — unpacked input(s), space-to-depth packed output
-      * 'packed_in' — packed input(s) (4× channels), packed output
-      * 'phase_up'  — input is the PRE-upsample map; computes
+      * 'packed_in' — packed input(s) (packed_factor× channels), packed output
+      * 'phase_up'  — input is the PRE-upsample map (unpacked if
+                      packed_factor == 4, s2d-packed if 16); computes
                       conv3x3(bilinear_up2(x)) fused, packed output
+    ``packed_factor``: s2d pack depth of the packed side — 4 (one s2d) or
+    16 (two); the output of non-'normal' modes carries
+    features × packed_factor channels.
     """
 
     features: int
@@ -115,6 +119,7 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     mode: str = "normal"
+    packed_factor: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -123,12 +128,14 @@ class Conv2d(nn.Module):
         from ...ops import packed as PK
 
         k = self.kernel_size
+        pf = self.packed_factor
         assert scales is None or self.mode == "s2d_out"
         if self.mode != "normal":
             assert k == 3 and self.strides == 1 and self.feature_group_count == 1
+            assert pf in (4, 16)
             parts = list(x) if isinstance(x, (list, tuple)) else [x]
-            pf = 4 if self.mode == "packed_in" else 1
-            cin = sum(p.shape[-1] for p in parts) // pf
+            in_pf = {"packed_in": pf, "phase_up": pf // 4, "s2d_out": 1}[self.mode]
+            cin = sum(p.shape[-1] for p in parts) // in_pf
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),
                 (k, k, cin, self.features), jnp.float32)
@@ -137,23 +144,26 @@ class Conv2d(nn.Module):
                                        scales=scales)
             elif self.mode == "phase_up":
                 assert len(parts) == 1
-                y = PK.phase_upconv_s2d(parts[0], kernel, dtype=self.dtype)
+                fn = (PK.phase_upconv_s2d if pf == 4
+                      else PK.phase_upconv_s2d_packed)
+                y = fn(parts[0], kernel, dtype=self.dtype)
             else:  # packed_in
                 y = None
                 off = 0
                 for p in parts:
-                    c = p.shape[-1] // 4
-                    kp = pack_kernel_3x3(kernel[:, :, off:off + c]).astype(
-                        self.dtype)
+                    c = p.shape[-1] // pf
+                    kp = kernel[:, :, off:off + c]
+                    for _ in range(pf.bit_length() // 2):  # 4→1×, 16→2×
+                        kp = pack_kernel_3x3(kp)
                     yp = jax.lax.conv_general_dilated(
-                        p.astype(self.dtype), kp, (1, 1), "SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                        p.astype(self.dtype), kp.astype(self.dtype), (1, 1),
+                        "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
                     y = yp if y is None else y + yp
                     off += c
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), jnp.float32)
-                y = y + PK.tile_channels(bias, 4).astype(y.dtype)
+                y = y + PK.tile_channels(bias, pf).astype(y.dtype)
             return y
         # a list input means "conv over the concat of these parts" computed
         # WITHOUT materializing the concat: conv(cat(a,b), W) =
@@ -202,6 +212,7 @@ class ConvBNReLU(nn.Module):
     use_batchnorm: bool = True
     drop_block_prob: float = 0.1
     mode: str = "normal"
+    packed_factor: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -212,6 +223,7 @@ class ConvBNReLU(nn.Module):
             strides=self.strides,
             use_bias=not self.use_batchnorm,
             mode=self.mode,
+            packed_factor=self.packed_factor,
             dtype=self.dtype,
             name="conv",
         )(x, scales=scales)
@@ -221,7 +233,8 @@ class ConvBNReLU(nn.Module):
             assert not train, "packed ConvBNReLU is an eval-only rewrite"
         if self.use_batchnorm:
             x = BatchNorm(dtype=self.dtype,
-                          packed=1 if self.mode == "normal" else 4)(x, train)
+                          packed=1 if self.mode == "normal"
+                          else self.packed_factor)(x, train)
         return nn.relu(x)
 
 
@@ -480,13 +493,14 @@ class DoubleConv(nn.Module):
 class SegmentationHead(nn.Module):
     """kxk conv (+ optional upsampling) to class logits (unetplusplusstar.py:163-168).
 
-    ``packed_in=True``: input is the s2d-packed final decoder map (eval
-    layout rewrite); the packed conv output is unpacked back to logical."""
+    ``packed_in``: s2d pack factor (4 or 16) of the incoming final decoder
+    map (eval layout rewrite); the packed conv output is unpacked back to
+    logical. 0 = plain input."""
 
     classes: int = 1
     kernel_size: int = 3
     upsampling: int = 1
-    packed_in: bool = False
+    packed_in: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -494,10 +508,12 @@ class SegmentationHead(nn.Module):
         x = Conv2d(self.classes, kernel_size=self.kernel_size,
                    use_bias=True, dtype=self.dtype,
                    mode="packed_in" if self.packed_in else "normal",
+                   packed_factor=self.packed_in or 4,
                    name="conv")(x)
         if self.packed_in:
             from ...ops.packed import depth_to_space
-            x = depth_to_space(x)
+            for _ in range(int(self.packed_in).bit_length() // 2):
+                x = depth_to_space(x)
         if self.upsampling > 1:
             n, h, w, c = x.shape
             x = jax.image.resize(x, (n, h * self.upsampling, w * self.upsampling, c), "bilinear")

@@ -72,9 +72,11 @@ class UnetPlusPlusStar(nn.Module):
         )(features, train)
 
         final_map = decoder_out[0] if self.deep_supervision else decoder_out
-        packed_final = final_map.shape[1] != x.shape[1]  # s2d-packed handoff
+        # s2d-packed handoff: spatial ratio 2 -> factor 4, 4 -> factor 16
+        ratio = x.shape[1] // final_map.shape[1]
         seg_head = SegmentationHead(self.classes, kernel_size=3,
-                                    packed_in=packed_final, dtype=self.dtype,
+                                    packed_in=ratio * ratio if ratio > 1 else 0,
+                                    dtype=self.dtype,
                                     name="segmentation_head")
         if self.deep_supervision:
             final, deeps = decoder_out

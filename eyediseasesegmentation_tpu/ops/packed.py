@@ -171,6 +171,89 @@ def phase_upconv_s2d(x: jnp.ndarray, k3: jnp.ndarray,
     return y
 
 
+def phase_upconv_s2d_packed(xp: jnp.ndarray, k3: jnp.ndarray,
+                            dtype=jnp.bfloat16) -> jnp.ndarray:
+    """``phase_upconv_s2d`` with a PACKED input, double-packed output.
+
+    xp: (N, h/2, w/2, 4·cin) = space_to_depth(x) for logical x (N, h, w, cin).
+    Returns (N, h/2, w/2, 16·cout) == s2d(phase_upconv_s2d(x, k3)) ==
+    s2d(s2d(conv3x3_same(bilinear_up2(x), k3))).
+
+    Keeps the x_0_3 → x_0_4 → head chain in ≥128-lane layouts: the logical
+    (h, w, cin) and (2h, 2w, cout) maps (32/16 channels at 512²/1024² in the
+    flagship — 4-8× lane-padding waste) are never materialized.
+
+    Channel layout of the output: (A·2+B)·4·cout + (a·2+b)·cout + c, where
+    (A, B) is the outer (h-grid) phase and (a, b) the inner (2h-grid) phase.
+    """
+    from .fastconv import pack_kernel_3x3
+
+    n, hp, wp, cin4 = xp.shape
+    cin, cout = cin4 // 4, k3.shape[3]
+    co4 = 4 * cout
+
+    # interior: pack the phase kernel once more; packed zero padding of one
+    # h-grid ring == what the unpacked interior conv saw, so interior values
+    # match phase_upconv_s2d's pre-strip output exactly
+    kph = make_phase_up_kernel(k3)                      # (3,3,cin,4·cout)
+    kpp = pack_kernel_3x3(kph).astype(dtype)            # (3,3,4·cin,16·cout)
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dtype), kpp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # border strips need the logical edge rows/cols of x — d2s'd thin slices
+    x_top = depth_to_space(xp[:, :2])[:, :3]            # logical rows 0..2
+    x_bot = depth_to_space(xp[:, -2:])[:, -3:]
+    x_l = depth_to_space(xp[:, :, :2])[:, :, :3]
+    x_r = depth_to_space(xp[:, :, -2:])[:, :, -3:]
+    k3d = k3.astype(dtype)
+
+    # top/bottom: logical 2h-rows {0,1} / {2h-2,2h-1} = h-row 0 / h-1 with
+    # outer phase A=0 / A=1 → channel halves [0:8co] / [8co:16co] of the
+    # first / last packed row
+    u_top = _up2_cols(_up2_rows(x_top)[:, :3])
+    u_top = jnp.pad(u_top, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    y_top = jax.lax.conv_general_dilated(
+        u_top.astype(dtype), k3d, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))     # (n,2,w,cout)
+    s_top = space_to_depth(y_top)                        # (n,1,w/2·... )
+    # s2d over (2, w): (n,1,w/2,4co) with channels (a,b,c); fold col parity B:
+    s_top = s_top.reshape(n, 1, wp, 2, co4).reshape(n, 1, wp, 2 * co4)
+    u_bot = _up2_cols(_up2_rows(x_bot)[:, -3:])
+    u_bot = jnp.pad(u_bot, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    y_bot = jax.lax.conv_general_dilated(
+        u_bot.astype(dtype), k3d, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    s_bot = space_to_depth(y_bot).reshape(n, 1, wp, 2 * co4)
+    y = y.at[:, :1, :, : 2 * co4].set(s_top)
+    y = y.at[:, -1:, :, 2 * co4:].set(s_bot)
+
+    # left/right: full height incl. corners (must come after row strips);
+    # logical 2w-cols {0,1} / {2w-2,2w-1} = w-col 0 / w-1 with outer B=0/1 →
+    # channels (A·2+B)·4co for A ∈ {0,1}
+    def col_strip(x_side, take_last):
+        xs = x_side.transpose(0, 2, 1, 3)               # (n,3,h,cin)
+        u = _up2_rows(xs)                                # rows = cols upsampled
+        u = u[:, -3:] if take_last else u[:, :3]
+        u = _up2_rows(u.transpose(0, 2, 1, 3))           # (n,2h,3,cin)
+        pad_cfg = ((0, 0), (0, 0), (0, 1), (0, 0)) if take_last else \
+            ((0, 0), (0, 0), (1, 0), (0, 0))
+        u = jnp.pad(u.astype(dtype), pad_cfg)
+        ys = jax.lax.conv_general_dilated(
+            u, k3d, (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (n,2h,2,cout)
+        s = space_to_depth(ys)                           # (n,h,1,4co) (a,b,c)
+        # fold row parity A: (n, h/2, A, 1, 4co)
+        return s.reshape(n, hp, 2, 1, co4)
+    s_l = col_strip(x_l, False)
+    s_r = col_strip(x_r, True)
+    y = y.at[:, :, :1, 0:co4].set(s_l[:, :, 0])                  # A=0,B=0
+    y = y.at[:, :, :1, 2 * co4:3 * co4].set(s_l[:, :, 1])        # A=1,B=0
+    y = y.at[:, :, -1:, co4:2 * co4].set(s_r[:, :, 0])           # A=0,B=1
+    y = y.at[:, :, -1:, 3 * co4:].set(s_r[:, :, 1])              # A=1,B=1
+    return y
+
+
 def stem7_s2d(x: jnp.ndarray, k7: jnp.ndarray,
               dtype=jnp.bfloat16) -> jnp.ndarray:
     """Stride-2 7×7 SAME conv (ResNet stem) via space-to-depth input packing.

@@ -168,3 +168,34 @@ def test_resnet_encoder_stem_fast_exact():
                     jax.tree_util.tree_leaves(yf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_phase_upconv_s2d_packed_exact():
+    """Packed-input phase-up conv == s2d(phase_upconv_s2d(x)) == double-s2d
+    of conv3x3(up2(x))."""
+    rng = np.random.RandomState(9)
+    for h, w, cin, cout in [(8, 8, 5, 3), (12, 8, 4, 2)]:
+        x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
+        ref = space_to_depth(space_to_depth(conv3x3(up2(x), k)))
+        got = P.phase_upconv_s2d_packed(space_to_depth(x), k,
+                                        dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_block_packed_input_exact():
+    """packed_input=4 no-skip fast block == the normal block on d2s input."""
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    kw = dict(in_channels=24, skip_channels=0, out_channels=12,
+              attention_type="scse", drop_block_prob=0.1, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, packed_input=4, **kw)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    va = slow.init(rngs, x, None, train=False)
+    ys = slow.apply(va, x, None, train=False)
+    yf = fast.apply(va, space_to_depth(x), None, train=False)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=2e-4, atol=2e-4)
