@@ -25,7 +25,7 @@ def main():
 
     scale_size = 1024
     ori_h, ori_w = 2848, 4288  # IDRiD native resolution
-    batch = 1  # batch=2 (16 views) is ~7% faster but exceeds HBM on this chip
+    batch = 2  # 16 fused views; fits HBM since the packed-tail rewrite (+9%)
     warmup, iters = 2, 8
 
     model = zoo.get_model(
@@ -67,8 +67,11 @@ def main():
     t0 = time.perf_counter()
     outs = [predictor._predict_jit(device_batches[i % len(device_batches)])
             for i in range(iters)]
-    for o in outs:
-        float(jnp.sum(o))
+    # force ALL outputs through one scalar fetch: the per-output float() sync
+    # pattern costs a full ~29 ms transport RTT per image (float blocks the
+    # host before the next sum can even dispatch); summing device-side and
+    # fetching once keeps the device pipeline full (same data dependency)
+    float(sum(jnp.sum(o) for o in outs))
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt

@@ -120,5 +120,38 @@ def main():
     timed("E5 materialize-gated then conv", conv_twostep, x, *skips)
 
 
+def extra():
+    """E6: both gate reductions expressed as VPU reduces of the same read."""
+    import time
+    from eyediseasesegmentation_tpu.models.modules.layers import upsample2x
+    timed = make_timer()
+    rng = jax.random.PRNGKey(0)
+    dt = jnp.bfloat16
+    V = 8
+    def rnd(shape, i=0):
+        return jax.random.normal(jax.random.fold_in(rng, i), shape, dt)
+    x = rnd((V, 256, 256, 256))
+    skips = [rnd((V, 512, 512, 64), i + 1) for i in range(3)]
+    w = rnd((448,), 22).astype(jnp.float32)
+
+    def gates_reduce(a, *s):
+        parts = [a] + list(s)
+        ms, ts = [], []
+        off = 0
+        for i, p in enumerate(parts):
+            c = p.shape[-1]
+            pf = p.astype(jnp.float32)
+            ms.append(pf.mean(axis=(1, 2)))                  # (V,c)
+            t = (pf * w[off:off + c]).sum(-1)                # (V,H,W) 3D
+            if i == 0:
+                t = upsample2x(t[..., None])[..., 0]
+            ts.append(t)
+            off += c
+        m = jnp.concatenate(ms, -1)
+        t = sum(ts)
+        return jax.nn.sigmoid(m), jax.nn.sigmoid(t)
+    timed("E6 gates as twin VPU reduces (3D t)", gates_reduce, x, *skips)
+
+
 if __name__ == "__main__":
-    main()
+    extra()
