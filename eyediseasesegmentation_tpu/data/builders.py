@@ -191,3 +191,66 @@ def prepare_clahe_images(image_paths: Sequence[Path], out_dir: Path,
         Image.fromarray(out).save(out_path, quality=100, subsampling=0)
         outs.append(out_path)
     return outs
+
+
+# FGADR Seg-set mask-directory names -> lesion codes (the reference's broken
+# build_fgadr.py:7-20 sketches this walk; lesion codes from
+# util/base_utils.py:34-37 / our paths.LESION_DICT *_FGADR entries)
+FGADR_MASK_DIRS = {
+    "HardExudate_Masks": "EX",
+    "Hemohedge_Masks": "HE",
+    "SoftExudate_Masks": "SE",
+    "Microaneurysms_Masks": "MA",
+}
+
+
+def build_fgadr_dataset(seg_set_dir: Path, dest_dir: Path,
+                        split: float = 0.8, seed: int = 1999) -> Dict[str, int]:
+    """Index the FGADR Seg-set into the processed layout ``get_datapath``'s
+    FGADR branch consumes (paths.py:60: images ``*.png`` + per-lesion mask
+    dirs with the SAME stem names).
+
+    A working replacement for the reference's broken ``build_fgadr.py``
+    (undefined ``self.dir`` / ``img_name``, build_fgadr.py:10-20): walk
+    ``Original_Images`` and each ``*_Masks`` dir, pair by 8-char stem prefix
+    (the reference's ``f[:8]`` convention), deterministic seed-1999 split as
+    in build_chasedb.py:22-24.
+
+    Returns per-part image counts.
+    """
+    seg_set_dir = Path(seg_set_dir)
+    dest_dir = Path(dest_dir)
+    img_dir = seg_set_dir / "Original_Images"
+    images = sorted(img_dir.glob("*.png"))
+    if not images:
+        raise FileNotFoundError(f"no *.png under {img_dir}")
+    # per-lesion mask lookup by 8-char stem prefix (reference f[:8])
+    mask_index: Dict[str, Dict[str, Path]] = {d: {} for d in FGADR_MASK_DIRS}
+    for mask_sub in FGADR_MASK_DIRS:
+        for f in sorted((seg_set_dir / mask_sub).glob("*.png")):
+            mask_index[mask_sub][f.stem[:8]] = f
+
+    order = np.arange(len(images))
+    np.random.RandomState(seed).shuffle(order)
+    n_train = int(round(len(images) * split))
+    counts = {"train": 0, "test": 0}
+    for rank, idx in enumerate(order):
+        part = "train" if rank < n_train else "test"
+        src = images[idx]
+        out_img = dest_dir / part / "image"
+        out_img.mkdir(parents=True, exist_ok=True)
+        Image.open(src).convert("RGB").save(out_img / src.name)
+        key = src.stem[:8]
+        for mask_sub in FGADR_MASK_DIRS:
+            m = mask_index[mask_sub].get(key)
+            out_mask = dest_dir / part / "label" / mask_sub
+            out_mask.mkdir(parents=True, exist_ok=True)
+            if m is not None:
+                Image.open(m).convert("L").save(out_mask / (src.stem + ".png"))
+            else:
+                # FGADR grades without a lesion have no mask file; write an
+                # explicit empty mask so image/mask lists stay aligned
+                Image.new("L", Image.open(src).size, 0).save(
+                    out_mask / (src.stem + ".png"))
+        counts[part] += 1
+    return counts

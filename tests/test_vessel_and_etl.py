@@ -191,3 +191,39 @@ def test_offline_augmentation(tmp_path):
     assert padded.shape == (48, 48, 3)
     pm = pad_to_square(np.asarray(mask), 48, is_mask=True)
     assert set(np.unique(pm)).issubset({0, 255})
+
+
+def test_build_fgadr_dataset(tmp_path):
+    """Working replacement for the reference's broken build_fgadr.py: pairs
+    Seg-set masks by 8-char stem, seed-1999 split, layout consumable by
+    get_datapath's FGADR branch."""
+    from eyediseasesegmentation_tpu.data.builders import (FGADR_MASK_DIRS,
+                                                          build_fgadr_dataset)
+    from eyediseasesegmentation_tpu.data.paths import get_datapath
+
+    rng = np.random.RandomState(0)
+    seg = tmp_path / "Seg-set"
+    (seg / "Original_Images").mkdir(parents=True)
+    for d in FGADR_MASK_DIRS:
+        (seg / d).mkdir()
+    for i in range(5):
+        img, mask = synthetic_fundus(rng, (32, 32))
+        name = f"{i:04d}_img"  # stem prefix convention f[:8]
+        Image.fromarray(img).save(seg / "Original_Images" / f"{name}.png")
+        # EX masks for all, MA only for even images (missing-mask path)
+        Image.fromarray(mask).save(seg / "HardExudate_Masks" / f"{name}.png")
+        if i % 2 == 0:
+            Image.fromarray(mask).save(
+                seg / "Microaneurysms_Masks" / f"{name}.png")
+    counts = build_fgadr_dataset(seg, tmp_path / "proc", split=0.8)
+    assert counts == {"train": 4, "test": 1}
+    for part, n in counts.items():
+        root = tmp_path / "proc" / part
+        assert len(list((root / "image").glob("*.png"))) == n
+        for d in FGADR_MASK_DIRS:
+            assert len(list((root / "label" / d).glob("*.png"))) == n
+    imgs, masks = get_datapath(tmp_path / "proc" / "train" / "image",
+                               tmp_path / "proc" / "train" / "label",
+                               "EX_FGADR")
+    assert len(imgs) == 4 and len(masks) == 4
+    assert [p.stem for p in imgs] == [p.stem for p in masks]
