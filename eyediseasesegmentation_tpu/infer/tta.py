@@ -329,10 +329,16 @@ test_tta.__test__ = False  # keep pytest from collecting the API function
 # Tiled (sliding-window) inference (reference tta_patches, tta.py:150-244)
 # ---------------------------------------------------------------------------
 
-def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any]) -> Dict[str, Any]:
+def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
+                mesh=None) -> Dict[str, Any]:
     """Sliding-window inference as an on-device lax.scan (no host round-trips),
-    then the same AUC/threshold/export pipeline."""
-    from ..ops.tiling import tiled_predict
+    then the same AUC/threshold/export pipeline.
+
+    ``mesh``: optional jax Mesh — the tile grid shards over its ``data`` axis
+    (each chip scans its share of tiles, canvases combined with a
+    priority-max/psum collective that reproduces the sequential overwrite
+    rule exactly; ops/tiling.tiled_predict_sharded)."""
+    from ..ops.tiling import tiled_predict, tiled_predict_sharded
 
     logdir = Path(logdir)
     model, variables, run_cfg = load_model_for_inference(
@@ -362,8 +368,13 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any]) -> Dict[st
     h0, w0 = first["ori_h"], first["ori_w"]
     window = min(window, h0, w0)
     grid = _make_grid((h0, w0), window=window, min_overlap=32)
-    predict = jax.jit(partial(tiled_predict, tile_fn, window=window,
-                              scale_size=scale_size))
+    if mesh is not None:
+        predict = jax.jit(partial(tiled_predict_sharded, tile_fn,
+                                  window=window, scale_size=scale_size,
+                                  mesh=mesh))
+    else:
+        predict = jax.jit(partial(tiled_predict, tile_fn, window=window,
+                                  scale_size=scale_size))
 
     ap_sum, ap_count = 0.0, 0
     n_th = len(M.THRESH_LIST)

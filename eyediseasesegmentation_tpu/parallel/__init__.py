@@ -6,6 +6,13 @@ from .mesh import (
     replicate,
     local_device_count,
 )
+from .spatial import (
+    halo_exchange,
+    conv3x3_spatial,
+    pool2x_spatial,
+    upsample2x_spatial,
+    spatial_predict,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +21,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "local_device_count",
+    "halo_exchange",
+    "conv3x3_spatial",
+    "pool2x_spatial",
+    "upsample2x_spatial",
+    "spatial_predict",
 ]
