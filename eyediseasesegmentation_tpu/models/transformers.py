@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .encoders import ResNetEncoder
 from .modules.layers import (BatchNorm, CBAM, ConvBNReLU, SegmentationHead,
                              upsample2x)
 
@@ -441,12 +440,111 @@ class ViTBlock(nn.Module):
                             param_dtype=jnp.float32)(y)
 
 
+class StdConv(nn.Module):
+    """Weight-standardized conv (reference vit_res_encoder.py:18-26): the
+    kernel is normalized over (H, W, Cin) per output channel, biased var."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features), jnp.float32)
+        m = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        v = kernel.var(axis=(0, 1, 2), keepdims=True)  # biased, as torch
+        ks = (kernel - m) * jax.lax.rsqrt(v + 1e-5)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), ks.astype(self.dtype),
+            (self.strides, self.strides), self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class PreActBottleneck(nn.Module):
+    """ResNetV2 bottleneck (vit_res_encoder.py:38-74): StdConv + GroupNorm,
+    gn applied AFTER each conv (the torch port's order), per-channel
+    GroupNorm on the projection."""
+
+    cout: int
+    cmid: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gn = lambda groups, name: nn.GroupNorm(num_groups=groups,
+                                               epsilon=1e-6, dtype=self.dtype,
+                                               name=name)
+        residual = x
+        if self.strides != 1 or x.shape[-1] != self.cout:
+            residual = StdConv(self.cout, 1, self.strides, "VALID",
+                               dtype=self.dtype, name="downsample")(x)
+            residual = gn(self.cout, "gn_proj")(residual)
+        y = nn.relu(gn(32, "gn1")(StdConv(self.cmid, 1, 1, "VALID",
+                                          dtype=self.dtype, name="conv1")(x)))
+        y = nn.relu(gn(32, "gn2")(StdConv(self.cmid, 3, self.strides,
+                                          [(1, 1), (1, 1)], dtype=self.dtype,
+                                          name="conv2")(y)))
+        y = gn(32, "gn3")(StdConv(self.cout, 1, 1, "VALID", dtype=self.dtype,
+                                  name="conv3")(y))
+        return nn.relu(residual + y)
+
+
+class ResNetV2Trunk(nn.Module):
+    """The TransUNet-R50 hybrid trunk (vit_res_encoder.py:113-159):
+    StdConv7×7/2 root + VALID 3×3/2 maxpool + three pre-act stages, with the
+    reference's odd-size quirk reproduced exactly — the pool is unpadded, so
+    the running map is one pixel short and each stage's skip feature is
+    zero-padded bottom/right to the canonical H/4·2^-i size while the trunk
+    continues at the odd size.
+
+    Returns (final /16 map, [skip /8, skip /4, skip /2]).
+    """
+
+    block_units: Sequence[int] = (3, 4, 9)
+    width_factor: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # GroupNorm is stateless
+        width = int(64 * self.width_factor)
+        in_size = x.shape[1]
+        y = StdConv(width, 7, 2, [(3, 3), (3, 3)], dtype=self.dtype,
+                    name="root_conv")(x)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         name="root_gn")(y)
+        y = nn.relu(y)
+        feats = [y]
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="VALID")
+        stages = [(width * 4, width, 1), (width * 8, width * 2, 2),
+                  (width * 16, width * 4, 2)]
+        for si, (cout, cmid, stride) in enumerate(stages):
+            for u in range(self.block_units[si]):
+                y = PreActBottleneck(
+                    cout, cmid, strides=stride if u == 0 else 1,
+                    dtype=self.dtype, name=f"block{si + 1}_unit{u + 1}")(y)
+            if si < 2:
+                right = in_size // (4 * (si + 1))  # vit_res_encoder.py:146
+                pad = right - y.shape[1]
+                assert 0 <= pad < 3, (y.shape, right)
+                feats.append(jnp.pad(
+                    y, ((0, 0), (0, pad), (0, pad), (0, 0))) if pad else y)
+        return y, feats[::-1]
+
+
 class TransUnet(nn.Module):
     """ViT bottleneck + cascaded upsampler (reference transunet.py).
 
-    ``hybrid=True`` (TransUnet_R50): a ResNet50 trunk provides the /2,/4,/8
-    skip features and the ViT runs on its /16 feature map; ``hybrid=False``
-    (TransUnet_B16): pure patch embedding, no skips.
+    ``hybrid=True`` (TransUnet_R50): a weight-standardized ResNetV2 trunk
+    (StdConv + GroupNorm pre-act bottlenecks, blocks (3,4,9) — the official
+    R50-ViT hybrid) provides the /2,/4,/8 skip features and the ViT runs on
+    its /16 feature map; ``hybrid=False`` (TransUnet_B16): pure patch
+    embedding, no skips.
     """
 
     hidden: int = 256
@@ -462,11 +560,8 @@ class TransUnet(nn.Module):
         n, H, W, _ = x.shape
         skips = []
         if self.hybrid:
-            trunk = ResNetEncoder(stage_sizes=(3, 4, 6, 3), block="bottleneck",
-                                  num_stages=3, dtype=self.dtype, name="trunk")
-            feats = trunk(x, train)  # [x, /2, /4, /8, /16]
-            skips = [feats[3], feats[2], feats[1]]  # /8, /4, /2
-            y = feats[4]
+            trunk = ResNetV2Trunk(dtype=self.dtype, name="trunk")
+            y, skips = trunk(x, train)  # /16, [/8, /4, /2]
             y = nn.Conv(self.hidden, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="patch_proj")(y)
         else:

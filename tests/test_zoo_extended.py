@@ -140,3 +140,27 @@ def test_hubmap_clf_early_exit():
     # with an extreme threshold the mask must be suppressed to large negatives
     if float(jax.nn.sigmoid(clf)[0, 0]) < 0.99:
         assert float(jnp.max(logits)) <= -99.0
+
+
+def test_stdconv_matches_torch():
+    """Weight-standardized conv == the reference StdConv2d math
+    (vit_res_encoder.py:18-26: biased var over (Cin,H,W) per out channel)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from eyediseasesegmentation_tpu.models.transformers import StdConv
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 10, 10, 5).astype(np.float32)
+    k = rng.randn(3, 3, 5, 7).astype(np.float32)
+
+    mod = StdConv(7, 3, 1, [(1, 1), (1, 1)])
+    out = mod.apply({"params": {"kernel": jnp.asarray(k)}}, jnp.asarray(x))
+
+    w = torch.tensor(k.transpose(3, 2, 0, 1))  # OIHW
+    v, m = torch.var_mean(w, dim=[1, 2, 3], keepdim=True, unbiased=False)
+    w = (w - m) / torch.sqrt(v + 1e-5)
+    ref = F.conv2d(torch.tensor(x.transpose(0, 3, 1, 2)), w, padding=1)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
