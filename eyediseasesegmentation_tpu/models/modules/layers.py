@@ -297,37 +297,23 @@ class SCSEAttention(nn.Module):
         kernel = self.param("sse_kernel", nn.initializers.lecun_normal(),
                             (1, 1, c, 1), jnp.float32)
         bias = self.param("sse_bias", nn.initializers.zeros, (1,), jnp.float32)
-        if self.return_gates:
-            # eval fast path: the 1x1 conv expressed as a channel reduce so
-            # XLA fuses it with the pooled-mean reduce above into ONE read
-            # per part (measured 6.1 -> 2.7 ms at the x_1_3 shape); t kept
-            # 3-D until the very end
-            t = None
-            offset = 0
-            for i, p in enumerate(xs):
-                cp = p.shape[-1]
-                w1 = kernel[0, 0, offset:offset + cp, 0].astype(self.dtype)
-                # f32 accumulation (the conv path accumulates f32 on the MXU)
-                tp = (p.astype(self.dtype) * w1).sum(-1, dtype=jnp.float32)
-                if i == 0 and self.up_part0:
-                    tp = upsample2x(tp[..., None])[..., 0]
-                t = tp if t is None else t + tp
-                offset += cp
-            gate_s = jax.nn.sigmoid(t + bias.astype(t.dtype))[..., None]
-            return jax.nn.sigmoid(s), gate_s
+        # the 1x1 conv expressed as a channel reduce so XLA fuses it with the
+        # pooled-mean reduce above into ONE read per part (measured
+        # 6.1 -> 2.7 ms at the x_1_3 shape); t kept 3-D until the very end;
+        # f32 accumulation (the conv path accumulates f32 on the MXU)
         t = None
         offset = 0
         for i, p in enumerate(xs):
             cp = p.shape[-1]
-            tp = jax.lax.conv_general_dilated(
-                p.astype(self.dtype),
-                kernel[:, :, offset:offset + cp].astype(self.dtype),
-                (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            w1 = kernel[0, 0, offset:offset + cp, 0].astype(self.dtype)
+            tp = (p.astype(self.dtype) * w1).sum(-1, dtype=jnp.float32)
             if i == 0 and self.up_part0:
-                tp = upsample2x(tp)
+                tp = upsample2x(tp[..., None])[..., 0]
             t = tp if t is None else t + tp
             offset += cp
-        gate_s = jax.nn.sigmoid(t + bias.astype(t.dtype))
+        gate_s = jax.nn.sigmoid(t + bias.astype(t.dtype))[..., None]
+        if self.return_gates:
+            return jax.nn.sigmoid(s), gate_s
         if parts is None:
             return x * (jax.nn.sigmoid(s) + gate_s)
         out = []
