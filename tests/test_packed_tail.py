@@ -24,7 +24,9 @@ def up2(x):
     return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
 
 
-@pytest.mark.parametrize("h,w,cin,cout", [(16, 16, 7, 5), (8, 12, 3, 4)])
+@pytest.mark.parametrize("h,w,cin,cout",
+                         [(16, 16, 7, 5), (8, 12, 3, 4),
+                          (16, 12, 5, 64)])  # cout>=64: row-split kernels
 def test_conv3x3_s2d_out_exact(h, w, cin, cout):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
