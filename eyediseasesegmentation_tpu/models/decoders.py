@@ -202,6 +202,11 @@ class UnetPlusPlusDecoder(nn.Module):
     fast_inference: bool = False
     fast_min_res: int = 512
     packed_final: bool = False  # hand the final map to the head s2d-packed
+    # per-node gradient rematerialization: each grid node's activations are
+    # recomputed during backward (segment = one DecoderBlock), cutting the
+    # training activation peak without the whole-graph remat's single giant
+    # recompute segment
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -232,7 +237,9 @@ class UnetPlusPlusDecoder(nn.Module):
                 skip_ch = skip_channels[layer_idx] * (layer_idx + 1 - depth_idx)
                 in_ch = skip_channels[layer_idx - 1]
             use_catt = self.star and layer_idx in (0, 1)
-            return DecoderBlock(
+            cls = (nn.remat(DecoderBlock, static_argnums=(3,))
+                   if self.remat and train else DecoderBlock)
+            return cls(
                 in_ch, skip_ch, out_ch, base_dim=self.base_dim, level=layer_idx,
                 use_catt=use_catt, attention_type=self.attention_type,
                 drop_block_prob=self.drop_block_prob, fast_tail=fast,
@@ -282,7 +289,9 @@ class UnetPlusPlusDecoder(nn.Module):
             fast = True
         else:
             fast = node_fast(xin, [], out_channels[-1], False)
-        dense[f"x_0_{depth}"] = DecoderBlock(
+        final_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
+                     if self.remat and train else DecoderBlock)
+        dense[f"x_0_{depth}"] = final_cls(
             in_channels[-1], 0, out_channels[-1], base_dim=self.base_dim,
             attention_type=self.attention_type,
             drop_block_prob=self.drop_block_prob, fast_tail=fast,

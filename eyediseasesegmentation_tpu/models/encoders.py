@@ -126,6 +126,8 @@ class ResNetEncoder(nn.Module):
     # eval-only exact s2d rewrite of the 7×7/2 stem (ops/packed.stem7_s2d,
     # ~10→~2 ms on v5e at 8×1024²); None = auto (enabled on TPU)
     fast_inference: Any = None
+    # per-block gradient rematerialization under train (memory/compute trade)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -154,6 +156,8 @@ class ResNetEncoder(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat and train:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         for stage, n_blocks in enumerate(self.stage_sizes[: self.num_stages]):
             planes = self.stem_width * (2 ** stage)
             width = int(planes * self.width_factor)
@@ -186,6 +190,7 @@ class BoTSER50Encoder(nn.Module):
     num_transblocks: int = 3  # kept for config parity (layer4 depth is fixed at 3)
     pretrained: bool = False
     fast_inference: Any = None  # s2d stem rewrite; None = auto (TPU)
+    remat: bool = False  # per-block gradient remat under train
     dtype: Dtype = jnp.float32
 
     out_channels: Tuple[int, ...] = (3, 64, 256, 512, 1024, 2048)
@@ -195,16 +200,19 @@ class BoTSER50Encoder(nn.Module):
         backbone = ResNetEncoder(
             stage_sizes=(3, 4, 6, 3), block="bottleneck", use_se=True,
             num_stages=3, frozen_bn=self.pretrained,
-            fast_inference=self.fast_inference, dtype=self.dtype,
+            fast_inference=self.fast_inference, remat=self.remat,
+            dtype=self.dtype,
             name="seresnet",
         )
         feats = backbone(x, train)  # [x, c0, c1(256,/4), c2(512,/8), c3(1024,/16)]
         y = feats[-1]
         if self.use_axial:
-            first_block = AxialAttentionBlock(
+            axial_cls = (nn.remat(AxialAttentionBlock, static_argnums=(2,))
+                         if self.remat and train else AxialAttentionBlock)
+            first_block = axial_cls(
                 in_channels=1024, out_channels=2048, down_sample=True,
                 dim=self.base_dim * 2, heads=8, dtype=self.dtype, name="layer4_first")
-            shared_block = AxialAttentionBlock(
+            shared_block = axial_cls(
                 in_channels=2048, out_channels=2048, down_sample=False,
                 dim=self.base_dim, heads=8, dtype=self.dtype, name="layer4_shared")
             y = first_block(y, train)
@@ -273,16 +281,16 @@ RESNET_CONFIGS = {
 
 def get_encoder(name: str, base_dim: int = 32, frozen_bn: bool = False,
                 dtype: Dtype = jnp.float32, module_name: str = "encoder",
-                fast_inference=None):
+                fast_inference=None, remat: bool = False):
     """Build an encoder module + its out_channels list by registry name."""
     if name in ENCODER_CONFIGS:
         cfg = ENCODER_CONFIGS[name]
         enc = BoTSER50Encoder(base_dim=base_dim, dtype=dtype, name=module_name,
-                              fast_inference=fast_inference, **cfg)
+                              fast_inference=fast_inference, remat=remat, **cfg)
         return enc, list(enc.out_channels)
     if name in RESNET_CONFIGS:
         enc = ResNetEncoder(frozen_bn=frozen_bn, dtype=dtype, name=module_name,
-                            fast_inference=fast_inference,
+                            fast_inference=fast_inference, remat=remat,
                             **RESNET_CONFIGS[name])
         return enc, enc.out_channels
     if name in ("efficientnet-b0", "efficientnet-b2", "efficientnet-b4"):

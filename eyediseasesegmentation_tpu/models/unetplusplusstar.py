@@ -38,6 +38,11 @@ class UnetPlusPlusStar(nn.Module):
     # None = auto (enabled on TPU). Exact up to float reassociation.
     fast_inference: Optional[bool] = None
     fast_min_res: int = 512
+    # per-block gradient rematerialization under train: one remat segment per
+    # encoder block / decoder grid node — the activation peak drops to about
+    # one segment's working set (whole-model jax.checkpoint recomputes in a
+    # single giant segment and barely lowers the peak)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -48,7 +53,7 @@ class UnetPlusPlusStar(nn.Module):
                 if self.fast_inference is None else self.fast_inference)
         encoder, enc_channels = get_encoder(
             self.encoder_name, base_dim=self.base_dim, dtype=self.dtype,
-            fast_inference=fast)
+            fast_inference=fast, remat=self.remat)
         features = encoder(x, train)
 
         clf = None
@@ -67,6 +72,7 @@ class UnetPlusPlusStar(nn.Module):
             fast_inference=fast,
             fast_min_res=self.fast_min_res,
             packed_final=True,
+            remat=self.remat,
             dtype=self.dtype,
             name="decoder",
         )(features, train)

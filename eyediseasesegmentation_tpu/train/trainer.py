@@ -103,8 +103,23 @@ class Trainer:
     def __post_init__(self):
         cfg = self.configs
         self.dtype = jnp.bfloat16 if cfg.get("is_fp16", True) else jnp.float32
-        self.model = zoo.get_model(cfg["model_name"], dict(cfg.get("model_params") or {}),
-                                   training=True, dtype=self.dtype)
+        # remat ("remat"/"is_remat" config key): prefer the model's own
+        # per-block segments (flagship); models without a remat field fall
+        # back to whole-model jax.checkpoint in _build_steps
+        self.remat = bool(cfg.get("remat", cfg.get("is_remat", False)))
+        self._model_remat = False
+        params = dict(cfg.get("model_params") or {})
+        if self.remat:
+            try:
+                self.model = zoo.get_model(cfg["model_name"],
+                                           {**params, "remat": True},
+                                           training=True, dtype=self.dtype)
+                self._model_remat = True
+            except TypeError:
+                pass
+        if not self._model_remat:
+            self.model = zoo.get_model(cfg["model_name"], params,
+                                       training=True, dtype=self.dtype)
         self.deep_supervision = bool(cfg.get("deep_supervision", False)) or bool(
             (cfg.get("model_params") or {}).get("deep_supervision", False))
         self.scale_size = int(cfg.get("scale_size", 1024))
@@ -162,14 +177,25 @@ class Trainer:
                 total = total + self.clf_weight * clf_loss
             return total, parts, final
 
+        # whole-model remat fallback for models without their own per-block
+        # remat field (numerically identical either way)
+        remat = self.remat and not self._model_remat
+
+        def _apply_train(params, batch_stats, images, rng):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               images, rngs={"dropout": rng},
+                               mutable=["batch_stats"], train=True)
+
+        if remat:
+            _apply_train = jax.checkpoint(
+                _apply_train, policy=jax.checkpoint_policies.nothing_saveable)
+
         def loss_and_metrics(params, batch_stats, images, masks, rng, train):
-            variables = {"params": params, "batch_stats": batch_stats}
-            kwargs = dict(train=train)
             if train:
-                out, updates = model.apply(variables, images, rngs={"dropout": rng},
-                                           mutable=["batch_stats"], **kwargs)
+                out, updates = _apply_train(params, batch_stats, images, rng)
             else:
-                out = model.apply(variables, images, **kwargs)
+                out = model.apply({"params": params, "batch_stats": batch_stats},
+                                  images, train=False)
                 updates = {"batch_stats": batch_stats}
             m4 = masks[..., None] if masks.ndim == 3 else masks
             total, parts, final = compute_loss(out, m4)

@@ -194,3 +194,32 @@ def test_cross_axial_attention_standalone():
     variables = catt.init(jax.random.PRNGKey(0), x, s, train=False)
     out = catt.apply(variables, x, s, train=False)
     assert out.shape == (4, 16, 32)
+
+
+def test_flagship_remat_identical_loss():
+    """Per-block remat (remat=True) produces the same train-mode loss and
+    gradients as the plain flagship — only the backward schedule changes."""
+    import numpy as np
+    kw = {"encoder_name": "BoTSER50_Axial_Imagenet_3",
+          "decoder_attention_type": "scse", "base_dim": 2, "classes": 1}
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    plain = zoo.get_model("unetplusplusstar", dict(kw))
+    rem = zoo.get_model("unetplusplusstar", {**kw, "remat": True})
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = plain.init(rngs, x, train=False)
+
+    def loss(model, p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, x,
+            train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        final = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(jnp.square(final))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

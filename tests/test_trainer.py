@@ -165,3 +165,37 @@ def test_resume_from_best_full(run, small_config):
     rows = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
     # resumed at epoch 3 (after the 3 completed epochs) => exactly 1 new epoch
     assert [r["epoch"] for r in rows] == [3]
+
+
+def test_remat_train_step_identical(tmp_path):
+    """remat=True (jax.checkpoint over the forward) must be numerically
+    identical to the plain step — it only changes the backward schedule."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from eyediseasesegmentation_tpu.train.trainer import Trainer
+
+    base = {
+        "dataset_name": "IDRiD", "lesion_type": "EX",
+        "augmentation": "normal", "scale_size": 32, "batch_size": 2,
+        "learning_rate": 1e-3, "weight_decay": 1e-5, "is_fp16": False,
+        "model_name": "classic_unet",
+        "model_params": {"filters": [4, 8], "classes": 1},
+        "criterion": {"bce": 0.8, "log_dice": 0.2}, "pos_weights": [5.0],
+        "optimizer": "adamw", "mesh_shape": {"data": 1},
+    }
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3) * 255, jnp.float32)
+    masks = jnp.asarray((rng.rand(2, 32, 32) < 0.3), jnp.float32)
+
+    losses = []
+    for remat in (False, True):
+        tr = Trainer({**base, "remat": remat}, seed=1999)
+        state = tr.init_state(jax.random.PRNGKey(0),
+                              sample_shape=(2, 32, 32, 3))
+        state, m = tr._train_step(state, images, masks, jax.random.PRNGKey(1),
+                                  jnp.asarray(1e-3, jnp.float32))
+        state, m = tr._train_step(state, images, masks, jax.random.PRNGKey(2),
+                                  jnp.asarray(1e-3, jnp.float32))
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)

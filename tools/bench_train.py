@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient rematerialization (halves activation HBM)")
     args = ap.parse_args()
 
     from eyediseasesegmentation_tpu.train.trainer import Trainer
@@ -42,6 +44,7 @@ def main():
         "pos_weights": [500.0],
         "optimizer": "adamw",
         "mesh_shape": {"data": 1},
+        "remat": args.remat,
     }
     trainer = Trainer(cfg, seed=1999)
     state = trainer.init_state(jax.random.PRNGKey(0),
