@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--config", default=None,
                         help="json overriding TestConfig fields")
+    parser.add_argument("--sharded", action="store_true",
+                        help="evaluate members across the device mesh "
+                             "(one chip per member, psum-mean)")
     args = parser.parse_args()
 
     overrides = {}
@@ -37,8 +40,12 @@ def main():
             overrides = json.load(f)
     config = TestConfig.from_dict({**TestConfig().get_all_attributes(),
                                    **overrides}).get_all_attributes()
+    mesh = None
+    if args.sharded:
+        from eyediseasesegmentation_tpu.parallel import make_mesh
+        mesh = make_mesh()
     result = predict(config, args.logdirs, args.out, tta=args.tta,
-                     batch_size=args.batch_size)
+                     batch_size=args.batch_size, mesh=mesh)
     logging.info("ensemble result: %s", result)
 
 

@@ -40,8 +40,50 @@ def get_best_models(logdirs: Sequence, tta: str = "d4",
     return predictors
 
 
+def make_sharded_ensemble(predictors: Sequence[TTAPredictor], mesh):
+    """Build a jitted ``fn(imgs) -> mean probs`` that evaluates the M
+    ensemble members across the mesh's ``data`` axis and psum-means their
+    TTA probabilities — the device-axis ensemble named by SURVEY §3.5 (the
+    reference averaged on host, ensemble.py:84-99).
+
+    Requires all members to share one architecture (identical variable
+    trees — the usual ensemble-of-seeds/folds case). Member count is padded
+    to the axis size by zero-weight repeats of member 0.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    m = len(predictors)
+    assert m <= n_dev, f"{m} members > {n_dev} devices"
+    ref = predictors[0]
+    member_vars = [p.variables for p in predictors]
+    member_vars += [member_vars[0]] * (n_dev - m)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *member_vars)
+    weights = jnp.asarray([1.0] * m + [0.0] * (n_dev - m), jnp.float32)
+
+    def worker(vars_m, w, imgs):
+        my_vars = jax.tree_util.tree_map(lambda v: v[0], vars_m)
+        probs = ref._predict(imgs, variables=my_vars)
+        total = jax.lax.psum(w[0] * probs, DATA_AXIS)
+        count = jax.lax.psum(w[0], DATA_AXIS)
+        return total / count
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(DATA_AXIS), stacked),
+                  P(DATA_AXIS), P(None, None, None, None)),
+        out_specs=P(None, None, None),
+        check_vma=False,  # psum-combined output is replicated
+    )
+    jitted = jax.jit(sharded)
+    return lambda imgs: jitted(stacked, weights, imgs)
+
+
 def predict(config: Dict[str, Any], logdirs: Sequence, out_dir,
-            tta: str = "d4", batch_size: int = 2) -> Dict[str, Any]:
+            tta: str = "d4", batch_size: int = 2, mesh=None) -> Dict[str, Any]:
     """Ensemble-mean prediction + AUC + threshold + mask export
     (ensemble.py:64-121)."""
     img_paths, mask_paths = get_datapath(Path(config["test_img_path"]),
@@ -51,6 +93,10 @@ def predict(config: Dict[str, Any], logdirs: Sequence, out_dir,
     first = ds[0]
     predictors = get_best_models(logdirs, tta=tta,
                                  ori_hw=(first["ori_h"], first["ori_w"]))
+    mean_fn = None
+    if mesh is not None:
+        # members spread over chips, one psum-mean (SURVEY §3.5)
+        mean_fn = make_sharded_ensemble(predictors, mesh)
 
     n_th = len(M.THRESH_LIST)
     tp = np.zeros(n_th); apc = np.zeros(n_th); pp = np.zeros(n_th)
@@ -58,7 +104,11 @@ def predict(config: Dict[str, Any], logdirs: Sequence, out_dir,
     probs_list, names = [], []
     for batch in batch_iterator(ds, batch_size, shuffle=False):
         imgs = jnp.asarray(batch["image"], jnp.float32)
-        mean_probs = sum(p.predict(imgs) for p in predictors) / len(predictors)
+        if mean_fn is not None:
+            mean_probs = mean_fn(imgs)
+        else:
+            mean_probs = sum(p.predict(imgs)
+                             for p in predictors) / len(predictors)
         for i in range(batch["n_valid"]):
             p = mean_probs[i]
             g = jnp.asarray(batch["mask"][i])

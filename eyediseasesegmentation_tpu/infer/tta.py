@@ -126,13 +126,15 @@ class TTAPredictor:
             self.variables = replicate(self.variables, self.mesh)
         self._predict_jit = jax.jit(self._predict)
 
-    def _forward(self, images):
-        out = self.model.apply(self.variables, images, train=False)
+    def _forward(self, images, variables=None):
+        out = self.model.apply(
+            self.variables if variables is None else variables,
+            images, train=False)
         if isinstance(out, tuple):
             out = out[0]
         return jax.nn.sigmoid(out.astype(jnp.float32))[..., 0]
 
-    def _scaled_probs_tiled(self, imgs, s):
+    def _scaled_probs_tiled(self, imgs, s, variables=None):
         """Scale-s (>1) multiscale leg without materializing the (B, sS, sS)
         activations: the virtually-upsampled image is processed as s² S-sized
         tiles inside one ``lax.scan`` (each tile sliced straight from the
@@ -151,7 +153,7 @@ class TTAPredictor:
             tile = jax.image.scale_and_translate(
                 imgs, (n, h, w, c), (1, 2),
                 jnp.array([s, s], jnp.float32), -off, method="linear")
-            p = self._forward(tile)
+            p = self._forward(tile, variables)
             return jax.lax.dynamic_update_slice(
                 canvas, p, (0, off[0].astype(jnp.int32),
                             off[1].astype(jnp.int32))), None
@@ -159,24 +161,27 @@ class TTAPredictor:
         canvas, _ = jax.lax.scan(body, canvas, offs)
         return jax.image.resize(canvas, (n, h, w), "bilinear")
 
-    def _tta_probs(self, imgs):
-        """imgs (B, S, S, C) normalized -> mean TTA probs (B, S, S)."""
+    def _tta_probs(self, imgs, variables=None):
+        """imgs (B, S, S, C) normalized -> mean TTA probs (B, S, S).
+
+        ``variables``: optional explicit pytree overriding ``self.variables``
+        (pure-function form — the device-axis ensemble maps over members)."""
         if self.tta == "multiscale":
             acc = 0.0
             for s in MULTISCALE_SCALES:
                 n, h, w, c = imgs.shape
                 if s == 1:
-                    p = self._forward(imgs)
+                    p = self._forward(imgs, variables)
                 elif s * max(h, w) > self.multiscale_max_res:
-                    p = self._scaled_probs_tiled(imgs, s)
+                    p = self._scaled_probs_tiled(imgs, s, variables)
                 else:
                     up = jax.image.resize(imgs, (n, h * s, w * s, c), "bilinear")
-                    p = self._forward(up)
+                    p = self._forward(up, variables)
                     p = jax.image.resize(p, (n, h, w), "bilinear")
                 acc = acc + p
             return acc / len(MULTISCALE_SCALES)
         if self.tta in ("five_crop", "ten_crop"):
-            return self._crop_tta(imgs)
+            return self._crop_tta(imgs, variables)
         make_views, inverse, V = TTA_FAMILIES[self.tta]
         views = make_views(imgs)  # (V, B, S, S, C)
         v, b, h, w, c = views.shape
@@ -186,11 +191,11 @@ class TTAPredictor:
             from jax.sharding import NamedSharding, PartitionSpec as P
             flat = jax.lax.with_sharding_constraint(
                 flat, NamedSharding(self.mesh, P("data", None, None, None)))
-        probs = self._forward(flat)
+        probs = self._forward(flat, variables)
         probs = inverse(probs.reshape(v, b, h, w)[..., None])[..., 0]
         return jnp.mean(probs, axis=0)
 
-    def _crop_tta(self, imgs):
+    def _crop_tta(self, imgs, variables=None):
         """five_crop: 4 corners + center at S/2, predictions pasted back and
         count-normalized; ten_crop adds the hflip set."""
         n, s = imgs.shape[0], imgs.shape[1]
@@ -204,7 +209,7 @@ class TTAPredictor:
             for (y, x) in corners:
                 crop = jax.lax.dynamic_slice(
                     im, (0, y, x, 0), (n, cs, cs, im.shape[-1]))
-                p = self._forward(crop)
+                p = self._forward(crop, variables)
                 if bi == 1:
                     p = p[:, :, ::-1]
                     x = s - cs - x
@@ -215,13 +220,13 @@ class TTAPredictor:
                     cnt, jax.lax.dynamic_slice(cnt, (y, x), (cs, cs)) + 1.0, (y, x))
         return acc / jnp.maximum(cnt, 1.0)[None]
 
-    def _predict(self, raw_images):
+    def _predict(self, raw_images, variables=None):
         if not self.resize:
             prep = self.transform.preprocessing_fn or (lambda x: x)
-            probs = self._tta_probs(jax.vmap(prep)(raw_images))
+            probs = self._tta_probs(jax.vmap(prep)(raw_images), variables)
             return probs
         imgs = jax.vmap(self.transform.test)(raw_images)
-        probs = self._tta_probs(imgs)
+        probs = self._tta_probs(imgs, variables)
         ori_h, ori_w = self.ori_hw or (raw_images.shape[1], raw_images.shape[2])
         crop_h, crop_w = I.longest_max_size_shape(ori_h, ori_w, self.scale_size)
         probs = jax.vmap(lambda p: I.center_crop(p, (crop_h, crop_w)))(probs)

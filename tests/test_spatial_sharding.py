@@ -97,3 +97,29 @@ def test_tiled_predict_sharded_matches_sequential(mesh, blend):
                                 mesh, blend=blend)
     np.testing.assert_allclose(np.asarray(shd), np.asarray(seq),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_ensemble_matches_host_mean(mesh):
+    """Device-axis ensemble (members over chips + psum-mean, SURVEY §3.5)
+    == the host-side per-model mean, including the zero-weight padding of
+    member count up to the axis size."""
+    from eyediseasesegmentation_tpu import models as zoo
+    from eyediseasesegmentation_tpu.infer.tta import TTAPredictor
+    from eyediseasesegmentation_tpu.infer.ensemble import make_sharded_ensemble
+
+    model = zoo.get_model("classic_unet", {"filters": (8, 16)})
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": 32}
+    preds = []
+    for seed in range(3):  # 3 members on an 8-device axis: padding exercised
+        variables = model.init({"params": jax.random.PRNGKey(seed),
+                                "dropout": jax.random.PRNGKey(99)},
+                               x0, train=False)
+        preds.append(TTAPredictor(model, variables, cfg, tta="d4",
+                                  ori_hw=(32, 32)))
+    imgs = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 3) * 255,
+                       jnp.float32)
+    host = sum(p.predict(imgs) for p in preds) / len(preds)
+    sharded = make_sharded_ensemble(preds, mesh)(imgs)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(host),
+                               rtol=1e-5, atol=1e-5)
