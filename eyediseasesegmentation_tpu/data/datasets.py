@@ -125,35 +125,52 @@ class TestSegmentation:
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
                    drop_last: bool = False, seed: int = 0,
-                   pad_to_batch: bool = True) -> Iterator[dict]:
+                   pad_to_batch: bool = True,
+                   workers: int = 0) -> Iterator[dict]:
     """Fixed-shape numpy batch iterator (replaces torch DataLoader).
 
     All images in a dataset are assumed same-shape (IDRiD 2848×4288 etc.);
     a short final batch is zero-padded to ``batch_size`` with ``n_valid`` set,
     so the compiled step sees one shape only.
+
+    ``workers`` > 0 decodes the batch's samples in a thread pool (PIL/numpy
+    release the GIL during jpg decode — the role of torch DataLoader
+    workers; the reference actually ran num_workers=0, train.py:218).
+    Combine with :func:`prefetch` to overlap decode with device compute.
     """
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.RandomState(seed).shuffle(order)
-    for start in range(0, len(order), batch_size):
-        idxs = order[start:start + batch_size]
-        if len(idxs) < batch_size and drop_last:
-            return
-        samples = [dataset[i] for i in idxs]
-        batch = {}
-        for key in samples[0]:
-            vals = [s[key] for s in samples]
-            if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
-                arr = np.stack([np.asarray(v) for v in vals])
-                if pad_to_batch and arr.shape[0] < batch_size:
-                    pad = batch_size - arr.shape[0]
-                    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-                    arr = np.pad(arr, widths)
-                batch[key] = arr
+    pool = None
+    if workers and len(dataset) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=workers)
+    try:
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idxs = order[start:start + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                return
+            if pool is not None:
+                samples = list(pool.map(dataset.__getitem__, idxs))
             else:
-                batch[key] = vals  # e.g. filenames
-        batch["n_valid"] = len(idxs)
-        yield batch
+                samples = [dataset[i] for i in idxs]
+            batch = {}
+            for key in samples[0]:
+                vals = [s[key] for s in samples]
+                if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+                    arr = np.stack([np.asarray(v) for v in vals])
+                    if pad_to_batch and arr.shape[0] < batch_size:
+                        pad = batch_size - arr.shape[0]
+                        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                        arr = np.pad(arr, widths)
+                    batch[key] = arr
+                else:
+                    batch[key] = vals  # e.g. filenames
+            batch["n_valid"] = len(idxs)
+            yield batch
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

@@ -123,6 +123,8 @@ class Trainer:
         self.deep_supervision = bool(cfg.get("deep_supervision", False)) or bool(
             (cfg.get("model_params") or {}).get("deep_supervision", False))
         self.scale_size = int(cfg.get("scale_size", 1024))
+        # thread-pooled per-batch decode (the torch DataLoader workers role)
+        self.num_workers = int(cfg.get("num_workers", 4))
         prep_fn, _, _ = zoo.get_preprocessing_fn(cfg.get("dataset_name", "IDRiD"),
                                                  cfg.get("gray", False))
         transform_cls = get_transform(cfg.get("augmentation", "advanced"))
@@ -339,9 +341,9 @@ class Trainer:
             t0 = time.time()
             # ---- train ----
             train_metrics = []
-            for batch in prefetch(batch_iterator(train_ds, batch_size,
-                                                 shuffle=True, drop_last=True,
-                                                 seed=self.seed + epoch)):
+            for batch in prefetch(batch_iterator(
+                    train_ds, batch_size, shuffle=True, drop_last=True,
+                    seed=self.seed + epoch, workers=self.num_workers)):
                 if scheduler is not None and scheduler.batch_update:
                     lr = scheduler.batch_lr(global_step)
                 state, m = self._train_step(
@@ -359,6 +361,7 @@ class Trainer:
             pp = np.zeros_like(tp)
             vlosses = []
             for batch in prefetch(batch_iterator(valid_ds, batch_size,
+                                                 workers=self.num_workers,
                                                  shuffle=False)):
                 r = self._eval_step(state, jnp.asarray(batch["image"]),
                                     jnp.asarray(batch["mask"]),

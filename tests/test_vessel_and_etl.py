@@ -227,3 +227,25 @@ def test_build_fgadr_dataset(tmp_path):
                                "EX_FGADR")
     assert len(imgs) == 4 and len(masks) == 4
     assert [p.stem for p in imgs] == [p.stem for p in masks]
+
+
+def test_batch_iterator_workers_deterministic(tmp_path):
+    """Thread-pooled decode returns identical batches in identical order."""
+    from eyediseasesegmentation_tpu.data.datasets import batch_iterator
+
+    class DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return {"image": rng.rand(4, 4, 3).astype(np.float32),
+                    "name": f"s{i}"}
+
+    a = list(batch_iterator(DS(), 3, shuffle=True, seed=5, workers=0))
+    b = list(batch_iterator(DS(), 3, shuffle=True, seed=5, workers=4))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        assert list(x["name"]) == list(y["name"])
+        assert x["n_valid"] == y["n_valid"]
