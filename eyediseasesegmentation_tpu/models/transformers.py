@@ -218,21 +218,27 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
-        # static-shape-friendly window: largest common divisor of (h, w) that
-        # is <= the nominal window (the reference pads to window multiples
-        # instead; snapping keeps shapes static without pad/mask bookkeeping)
-        ws = 1
-        for d in range(1, min(self.window, h, w) + 1):
-            if h % d == 0 and w % d == 0:
-                ws = d
-        shift = (self.shift if (self.shift and ws < min(h, w) and ws > 2)
-                 else 0)
+        # reference semantics (modules/swin_transformer.py): the feature map
+        # is zero-PADDED up to window multiples, attended (pad tokens join
+        # their edge windows unmasked in the non-shifted case, exactly like
+        # the torch code), and cropped back; window stays the nominal 7 so
+        # the relative-position tables keep their canonical (2·7−1)² shape
+        # (required for pretrained Swin import). If the map is smaller than
+        # the window, the window shrinks to it and shift turns off.
+        ws = min(self.window, h, w)
+        shift = self.shift if (self.shift and min(h, w) > ws) else 0
         shift = min(shift, ws - 1) if shift else 0
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        hp, wp = h + pad_h, w + pad_w
         y = nn.LayerNorm(dtype=self.dtype)(x)
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            # attention mask separating rolled-over regions
-            img_mask = np.zeros((1, h, w, 1), np.float32)
+            # attention mask separating rolled-over regions (built on the
+            # PADDED canvas, swin_transformer.py attn_mask)
+            img_mask = np.zeros((1, hp, wp, 1), np.float32)
             cnt = 0
             for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
                 for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -245,9 +251,11 @@ class SwinBlock(nn.Module):
         windows = _window_partition(y, ws)
         att = WindowAttention(self.features, self.heads, ws,
                               dtype=self.dtype)(windows, mask)
-        y = _window_reverse(att, ws, h, w)
+        y = _window_reverse(att, ws, hp, wp)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            y = y[:, :h, :w]
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.features * self.mlp_ratio, dtype=self.dtype,
