@@ -284,6 +284,84 @@ ARCH_STAGE_SIZES = {
 }
 
 
+def import_mit(state_dict: Dict[str, Any], params: Dict,
+               prefix: Tuple[str, ...] = (),
+               depths: Tuple[int, ...] = (2, 2, 2, 2)) -> Dict[str, Any]:
+    """Map an official Segformer/MixViT state_dict (patch_embed{s}.*,
+    block{s}.{i}.*, norm{s}.* — reference segformerstar.py:139-347, loaded at
+    l.401-414) onto the flax ``MixVisionTransformer`` tree.
+
+    Layout notes:
+    * the torch ``attn.kv`` Linear (dim → 2·dim) splits into the flax k/v
+      Dense pair (rows [:dim] / [dim:]);
+    * ``mlp.dwconv.dwconv`` is a depthwise 3×3: (C,1,3,3) OIHW → (3,3,1,C);
+    * SRAttention submodule order: Dense_0=q, [Conv_0=sr, LayerNorm_0=sr-norm
+      when sr_ratio>1], Dense_1=k, Dense_2=v, Dense_3=proj.
+    """
+    report = {"loaded": [], "missing_in_jax": [], "shape_mismatch": [],
+              "unused_torch": []}
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return state_dict[name]
+
+    def dense(tname, jpath):
+        _set(params, jpath + ("kernel",), dense_kernel(take(f"{tname}.weight")),
+             report)
+        if f"{tname}.bias" in state_dict:
+            _set(params, jpath + ("bias",), to_numpy(take(f"{tname}.bias")),
+                 report)
+
+    def ln(tname, jpath):
+        _set(params, jpath + ("scale",), to_numpy(take(f"{tname}.weight")), report)
+        _set(params, jpath + ("bias",), to_numpy(take(f"{tname}.bias")), report)
+
+    for s, depth in enumerate(depths):
+        t_embed = f"patch_embed{s + 1}"
+        j_embed = prefix + (f"embed{s}",)
+        _set(params, j_embed + ("Conv_0", "kernel"),
+             conv_kernel(take(f"{t_embed}.proj.weight")), report)
+        _set(params, j_embed + ("Conv_0", "bias"),
+             to_numpy(take(f"{t_embed}.proj.bias")), report)
+        ln(f"{t_embed}.norm", j_embed + ("LayerNorm_0",))
+        for i in range(depth):
+            tb = f"block{s + 1}.{i}"
+            jb = prefix + (f"stage{s}_block{i}",)
+            ln(f"{tb}.norm1", jb + ("LayerNorm_0",))
+            ln(f"{tb}.norm2", jb + ("LayerNorm_1",))
+            att = jb + ("SRAttention_0",)
+            dense(f"{tb}.attn.q", att + ("Dense_0",))
+            kv_w = to_numpy(take(f"{tb}.attn.kv.weight"))  # (2C, C)
+            c = kv_w.shape[0] // 2
+            _set(params, att + ("Dense_1", "kernel"),
+                 kv_w[:c].transpose(1, 0), report)
+            _set(params, att + ("Dense_2", "kernel"),
+                 kv_w[c:].transpose(1, 0), report)
+            if f"{tb}.attn.kv.bias" in state_dict:
+                kv_b = to_numpy(take(f"{tb}.attn.kv.bias"))
+                _set(params, att + ("Dense_1", "bias"), kv_b[:c], report)
+                _set(params, att + ("Dense_2", "bias"), kv_b[c:], report)
+            if f"{tb}.attn.sr.weight" in state_dict:
+                _set(params, att + ("Conv_0", "kernel"),
+                     conv_kernel(take(f"{tb}.attn.sr.weight")), report)
+                _set(params, att + ("Conv_0", "bias"),
+                     to_numpy(take(f"{tb}.attn.sr.bias")), report)
+                ln(f"{tb}.attn.norm", att + ("LayerNorm_0",))
+            dense(f"{tb}.attn.proj", att + ("Dense_3",))
+            ffn = jb + ("MixFFN_0",)
+            dense(f"{tb}.mlp.fc1", ffn + ("Dense_0",))
+            _set(params, ffn + ("Conv_0", "kernel"),
+                 conv_kernel(take(f"{tb}.mlp.dwconv.dwconv.weight")), report)
+            _set(params, ffn + ("Conv_0", "bias"),
+                 to_numpy(take(f"{tb}.mlp.dwconv.dwconv.bias")), report)
+            dense(f"{tb}.mlp.fc2", ffn + ("Dense_1",))
+        ln(f"norm{s + 1}", prefix + (f"norm{s}",))
+
+    report["unused_torch"] = sorted(set(state_dict) - used)
+    return report
+
+
 def _to_mutable(d):
     if isinstance(d, dict) or hasattr(d, "items"):
         return {k: _to_mutable(v) for k, v in d.items()}
@@ -321,7 +399,7 @@ def import_torch_checkpoint(path_or_state_dict, variables: Dict[str, Any],
     enc_stats = batch_stats.get(encoder_key, batch_stats)
 
     if backbone_key is None:  # auto-detect known nested backbones
-        for cand in ("seresnet", "swin"):
+        for cand in ("seresnet", "swin", "mit"):
             if cand in enc_params:
                 backbone_key = cand
                 break
@@ -338,6 +416,10 @@ def import_torch_checkpoint(path_or_state_dict, variables: Dict[str, Any],
         from ..models.transformers import SWIN_CONFIGS
         depths = SWIN_CONFIGS.get(arch, SWIN_CONFIGS["swin_tiny"])["depths"]
         report = import_swin(state_dict, enc_params, prefix=(), depths=depths)
+    elif arch.startswith("mit"):
+        from ..models.transformers import MIT_CONFIGS
+        depths = MIT_CONFIGS.get(arch, MIT_CONFIGS["mit_b0"])["depths"]
+        report = import_mit(state_dict, enc_params, prefix=(), depths=depths)
     else:
         raise KeyError(f"no importer for arch '{arch}'")
 

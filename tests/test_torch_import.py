@@ -345,3 +345,111 @@ def test_load_torch_checkpoint_unwrap(tmp_path, torch_net):
     torch.save(wrapped, p)
     loaded = TI.load_torch_checkpoint(p)
     assert set(loaded) == set(sd)
+
+
+def test_mit_import_covers_tree_and_matches_torch_block():
+    """Official Segformer/MixViT layout maps onto MixVisionTransformer
+    (segformerstar.py:139-347 modules, loaded at l.401-414), and a full
+    torch oracle of one SR-attention block matches the flax forward."""
+    import torch
+    import torch.nn.functional as F
+    from eyediseasesegmentation_tpu.models.transformers import (
+        MIT_CONFIGS, MixVisionTransformer)
+
+    model = MixVisionTransformer("mit_b0")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    dims = MIT_CONFIGS["mit_b0"]["dims"]
+    depths = MIT_CONFIGS["mit_b0"]["depths"]
+    srs = (8, 4, 2, 1)
+    rng = np.random.RandomState(0)
+
+    def r(*shape):
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    sd = {}
+    for s, (dim, depth) in enumerate(zip(dims, depths)):
+        cin = 3 if s == 0 else dims[s - 1]
+        patch = 7 if s == 0 else 3
+        sd[f"patch_embed{s + 1}.proj.weight"] = r(dim, cin, patch, patch)
+        sd[f"patch_embed{s + 1}.proj.bias"] = r(dim)
+        sd[f"patch_embed{s + 1}.norm.weight"] = r(dim)
+        sd[f"patch_embed{s + 1}.norm.bias"] = r(dim)
+        for i in range(depth):
+            p = f"block{s + 1}.{i}"
+            for nm in ("norm1", "norm2"):
+                sd[f"{p}.{nm}.weight"] = r(dim)
+                sd[f"{p}.{nm}.bias"] = r(dim)
+            sd[f"{p}.attn.q.weight"] = r(dim, dim)
+            sd[f"{p}.attn.q.bias"] = r(dim)
+            sd[f"{p}.attn.kv.weight"] = r(2 * dim, dim)
+            sd[f"{p}.attn.kv.bias"] = r(2 * dim)
+            sd[f"{p}.attn.proj.weight"] = r(dim, dim)
+            sd[f"{p}.attn.proj.bias"] = r(dim)
+            if srs[s] > 1:
+                sd[f"{p}.attn.sr.weight"] = r(dim, dim, srs[s], srs[s])
+                sd[f"{p}.attn.sr.bias"] = r(dim)
+                sd[f"{p}.attn.norm.weight"] = r(dim)
+                sd[f"{p}.attn.norm.bias"] = r(dim)
+            sd[f"{p}.mlp.fc1.weight"] = r(4 * dim, dim)
+            sd[f"{p}.mlp.fc1.bias"] = r(4 * dim)
+            sd[f"{p}.mlp.dwconv.dwconv.weight"] = r(4 * dim, 1, 3, 3)
+            sd[f"{p}.mlp.dwconv.dwconv.bias"] = r(4 * dim)
+            sd[f"{p}.mlp.fc2.weight"] = r(dim, 4 * dim)
+            sd[f"{p}.mlp.fc2.bias"] = r(dim)
+        sd[f"norm{s + 1}.weight"] = r(dim)
+        sd[f"norm{s + 1}.bias"] = r(dim)
+
+    new_vars, report = TI.import_torch_checkpoint(sd, variables, arch="mit_b0",
+                                                  encoder_key="params")
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    assert not report["missing_in_jax"], report["missing_in_jax"][:5]
+    assert not report["unused_torch"], report["unused_torch"][:5]
+    feats = model.apply(new_vars, x, train=False)
+    assert feats[-1].shape == (1, 2, 2, dims[-1])
+
+    # ---- torch oracle for stage-0 block 0 (the SR-attention + Mix-FFN) ----
+    dim, sr, heads = dims[0], srs[0], 1
+    h = w = 16
+    seq = (rng.randn(1, h * w, dim) * 0.5).astype(np.float32)
+
+    def t(name):
+        return torch.tensor(sd[name])
+
+    xt = torch.tensor(seq)
+    y = F.layer_norm(xt, (dim,), t("block1.0.norm1.weight"),
+                     t("block1.0.norm1.bias"))
+    q = F.linear(y, t("block1.0.attn.q.weight"), t("block1.0.attn.q.bias"))
+    y2d = y.transpose(1, 2).reshape(1, dim, h, w)
+    y2d = F.conv2d(y2d, t("block1.0.attn.sr.weight"),
+                   t("block1.0.attn.sr.bias"), stride=sr)
+    kv_in = y2d.reshape(1, dim, -1).transpose(1, 2)
+    kv_in = F.layer_norm(kv_in, (dim,), t("block1.0.attn.norm.weight"),
+                         t("block1.0.attn.norm.bias"))
+    kv = F.linear(kv_in, t("block1.0.attn.kv.weight"),
+                  t("block1.0.attn.kv.bias"))
+    k, v = kv[..., :dim], kv[..., dim:]
+    att = torch.softmax(q @ k.transpose(1, 2) / np.sqrt(dim / heads), dim=-1)
+    out = att @ v
+    out = F.linear(out, t("block1.0.attn.proj.weight"),
+                   t("block1.0.attn.proj.bias"))
+    xt = xt + out
+    y = F.layer_norm(xt, (dim,), t("block1.0.norm2.weight"),
+                     t("block1.0.norm2.bias"))
+    y = F.linear(y, t("block1.0.mlp.fc1.weight"), t("block1.0.mlp.fc1.bias"))
+    y2d = y.transpose(1, 2).reshape(1, 4 * dim, h, w)
+    y2d = F.conv2d(y2d, t("block1.0.mlp.dwconv.dwconv.weight"),
+                   t("block1.0.mlp.dwconv.dwconv.bias"), padding=1,
+                   groups=4 * dim)
+    y = F.gelu(y2d.reshape(1, 4 * dim, -1).transpose(1, 2))
+    y = F.linear(y, t("block1.0.mlp.fc2.weight"), t("block1.0.mlp.fc2.bias"))
+    ref = (xt + y).numpy()
+
+    from eyediseasesegmentation_tpu.models.transformers import MixViTBlock
+    blk = MixViTBlock(dim, heads, sr)
+    blk_params = new_vars["params"]["stage0_block0"]
+    got = blk.apply({"params": blk_params["MixViTBlock_0"]
+                     if "MixViTBlock_0" in blk_params else blk_params},
+                    jnp.asarray(seq), (h, w))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
