@@ -362,6 +362,142 @@ def import_mit(state_dict: Dict[str, Any], params: Dict,
     return report
 
 
+def import_vit_npz(npz, variables: Dict[str, Any],
+                   hybrid: bool = True) -> Tuple[Dict, Dict]:
+    """Load an official ViT ``.npz`` checkpoint (ViT-B_16 / R50+ViT-B_16)
+    into a flax ``TransUnet`` (reference transunet.py:528-546 +
+    load_from l.404-455).
+
+    Mappings:
+    * ``embedding/kernel`` (HWIO already) → patch_proj (hybrid) or
+      patch_embed; ``Transformer/encoder_norm`` → the post-block LayerNorm.
+    * ``Transformer/posembed_input/pos_embedding``: the class token is
+      dropped and the grid bilinearly resized on size mismatch (the
+      reference uses scipy zoom order=1; we use jax.image.resize linear).
+    * encoderblock_N: separate query/key/value kernels (hidden, heads, hd)
+      reshape to (hidden, hidden) and concatenate into the fused qkv Dense;
+      ``out`` reshapes (heads, hd, hidden). NOTE the reference deliberately
+      (or not — the lines are commented out, transunet.py:210-218) skips the
+      MLP weights; we DO load MlpBlock_3/Dense_0/1.
+    * hybrid ResNetV2 trunk: conv_root/gn_root + block{b}/unit{u}
+      conv1-3/gn1-3/conv_proj/gn_proj, all HWIO natively.
+
+    ``npz``: a path or a dict-like of numpy arrays. Returns
+    (new_variables, report).
+    """
+    if not hasattr(npz, "keys"):
+        npz = np.load(npz)
+    report = {"loaded": [], "missing_in_jax": [], "shape_mismatch": [],
+              "unused_torch": []}
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return np.asarray(npz[name])
+
+    params = _to_mutable(variables["params"])
+
+    # patch embedding + final encoder norm
+    embed_key = "patch_proj" if hybrid else "patch_embed"
+    if embed_key in params:
+        _set(params, (embed_key, "kernel"), take("embedding/kernel"), report)
+        _set(params, (embed_key, "bias"), take("embedding/bias"), report)
+    _set(params, ("LayerNorm_0", "scale"),
+         take("Transformer/encoder_norm/scale"), report)
+    _set(params, ("LayerNorm_0", "bias"),
+         take("Transformer/encoder_norm/bias"), report)
+
+    # position embeddings: drop cls, resize grid on mismatch
+    pos = take("Transformer/posembed_input/pos_embedding")
+    if "pos_embed" in params:
+        dst = params["pos_embed"].shape  # (1, L, C)
+        grid = pos
+        if int(np.sqrt(pos.shape[1])) ** 2 != pos.shape[1]:
+            grid = pos[:, 1:]  # drop the class token (transunet.py:419-421)
+        if grid.shape != tuple(dst):
+            import jax
+            import jax.numpy as jnp
+
+            gs_old = int(np.sqrt(grid.shape[1]))
+            gs_new = int(np.sqrt(dst[1]))
+            g = grid.reshape(gs_old, gs_old, -1)
+            g = np.asarray(jax.image.resize(
+                jnp.asarray(g), (gs_new, gs_new, g.shape[-1]), "linear"))
+            grid = g.reshape(1, gs_new * gs_new, -1)
+        _set(params, ("pos_embed",), grid.astype(np.float32), report)
+
+    # encoder blocks
+    att = "MultiHeadDotProductAttention_1"
+    n_blocks = sum(1 for k in params if re.match(r"vit\d+$", k))
+    for i in range(n_blocks):
+        root = f"Transformer/encoderblock_{i}"
+        jb = (f"vit{i}",)
+        hidden = take(f"{root}/{att}/query/kernel").shape[0]
+        q = take(f"{root}/{att}/query/kernel").reshape(hidden, hidden)
+        k = take(f"{root}/{att}/key/kernel").reshape(hidden, hidden)
+        v = take(f"{root}/{att}/value/kernel").reshape(hidden, hidden)
+        _set(params, jb + ("Dense_0", "kernel"),
+             np.concatenate([q, k, v], axis=1), report)
+        qb = take(f"{root}/{att}/query/bias").reshape(-1)
+        kb = take(f"{root}/{att}/key/bias").reshape(-1)
+        vb = take(f"{root}/{att}/value/bias").reshape(-1)
+        _set(params, jb + ("Dense_0", "bias"),
+             np.concatenate([qb, kb, vb]), report)
+        _set(params, jb + ("Dense_1", "kernel"),
+             take(f"{root}/{att}/out/kernel").reshape(hidden, hidden), report)
+        _set(params, jb + ("Dense_1", "bias"),
+             take(f"{root}/{att}/out/bias").reshape(-1), report)
+        _set(params, jb + ("LayerNorm_0", "scale"),
+             take(f"{root}/LayerNorm_0/scale"), report)
+        _set(params, jb + ("LayerNorm_0", "bias"),
+             take(f"{root}/LayerNorm_0/bias"), report)
+        _set(params, jb + ("LayerNorm_1", "scale"),
+             take(f"{root}/LayerNorm_2/scale"), report)
+        _set(params, jb + ("LayerNorm_1", "bias"),
+             take(f"{root}/LayerNorm_2/bias"), report)
+        _set(params, jb + ("Dense_2", "kernel"),
+             take(f"{root}/MlpBlock_3/Dense_0/kernel"), report)
+        _set(params, jb + ("Dense_2", "bias"),
+             take(f"{root}/MlpBlock_3/Dense_0/bias"), report)
+        _set(params, jb + ("Dense_3", "kernel"),
+             take(f"{root}/MlpBlock_3/Dense_1/kernel"), report)
+        _set(params, jb + ("Dense_3", "bias"),
+             take(f"{root}/MlpBlock_3/Dense_1/bias"), report)
+
+    # hybrid ResNetV2 trunk
+    if hybrid and "trunk" in params and "conv_root/kernel" in npz:
+        trunk = params["trunk"]
+        _set(trunk, ("root_conv", "kernel"), take("conv_root/kernel"), report)
+        _set(trunk, ("root_gn", "scale"), take("gn_root/scale").reshape(-1),
+             report)
+        _set(trunk, ("root_gn", "bias"), take("gn_root/bias").reshape(-1),
+             report)
+        for name in list(trunk):
+            m = re.match(r"block(\d+)_unit(\d+)$", name)
+            if not m:
+                continue
+            broot = f"block{m.group(1)}/unit{m.group(2)}"
+            for conv in ("conv1", "conv2", "conv3"):
+                _set(trunk, (name, conv, "kernel"),
+                     take(f"{broot}/{conv}/kernel"), report)
+            for gn in ("gn1", "gn2", "gn3"):
+                _set(trunk, (name, gn, "scale"),
+                     take(f"{broot}/{gn}/scale").reshape(-1), report)
+                _set(trunk, (name, gn, "bias"),
+                     take(f"{broot}/{gn}/bias").reshape(-1), report)
+            if "downsample" in trunk[name]:
+                _set(trunk, (name, "downsample", "kernel"),
+                     take(f"{broot}/conv_proj/kernel"), report)
+                _set(trunk, (name, "gn_proj", "scale"),
+                     take(f"{broot}/gn_proj/scale").reshape(-1), report)
+                _set(trunk, (name, "gn_proj", "bias"),
+                     take(f"{broot}/gn_proj/bias").reshape(-1), report)
+
+    report["unused_torch"] = sorted(set(npz.keys()) - used)
+    new_vars = {**variables, "params": params}
+    return new_vars, report
+
+
 def _to_mutable(d):
     if isinstance(d, dict) or hasattr(d, "items"):
         return {k: _to_mutable(v) for k, v in d.items()}

@@ -453,3 +453,76 @@ def test_mit_import_covers_tree_and_matches_torch_block():
                      if "MixViTBlock_0" in blk_params else blk_params},
                     jnp.asarray(seq), (h, w))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vit_npz_import_covers_tree():
+    """Official ViT .npz layout (R50+ViT hybrid) maps onto TransUnet: fused
+    qkv assembled from split q/k/v, MLP loaded (the reference comments that
+    part out), ResNetV2 trunk conv/gn, cls-token drop + pos-grid resize."""
+    from eyediseasesegmentation_tpu.models.transformers import TransUnet
+
+    model = TransUnet(hidden=64, depth=2, heads=4, hybrid=True,
+                      decoder_channels=(32, 16, 8, 8))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    params = variables["params"]
+    rng = np.random.RandomState(0)
+
+    def r(*shape):
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    npz = {}
+    # trunk: derive shapes from the flax tree (axes identical, HWIO)
+    trunk = params["trunk"]
+    npz["conv_root/kernel"] = r(*trunk["root_conv"]["kernel"].shape)
+    gnc = trunk["root_gn"]["scale"].shape[0]
+    npz["gn_root/scale"] = r(1, 1, 1, gnc)
+    npz["gn_root/bias"] = r(1, 1, 1, gnc)
+    import re as _re
+    for name, sub in trunk.items():
+        m = _re.match(r"block(\d+)_unit(\d+)$", name)
+        if not m:
+            continue
+        broot = f"block{m.group(1)}/unit{m.group(2)}"
+        for conv in ("conv1", "conv2", "conv3"):
+            npz[f"{broot}/{conv}/kernel"] = r(*sub[conv]["kernel"].shape)
+        for gn in ("gn1", "gn2", "gn3"):
+            c = sub[gn]["scale"].shape[0]
+            npz[f"{broot}/{gn}/scale"] = r(1, 1, 1, c)
+            npz[f"{broot}/{gn}/bias"] = r(1, 1, 1, c)
+        if "downsample" in sub:
+            npz[f"{broot}/conv_proj/kernel"] = r(*sub["downsample"]["kernel"].shape)
+            c = sub["gn_proj"]["scale"].shape[0]
+            npz[f"{broot}/gn_proj/scale"] = r(1, 1, 1, c)
+            npz[f"{broot}/gn_proj/bias"] = r(1, 1, 1, c)
+    npz["embedding/kernel"] = r(*params["patch_proj"]["kernel"].shape)
+    npz["embedding/bias"] = r(64)
+    npz["Transformer/encoder_norm/scale"] = r(64)
+    npz["Transformer/encoder_norm/bias"] = r(64)
+    # official grid 14x14 + cls -> resized to the model's 4x4
+    npz["Transformer/posembed_input/pos_embedding"] = r(1, 197, 64)
+    for i in range(2):
+        root = f"Transformer/encoderblock_{i}"
+        att = "MultiHeadDotProductAttention_1"
+        for nm in ("query", "key", "value"):
+            npz[f"{root}/{att}/{nm}/kernel"] = r(64, 4, 16)
+            npz[f"{root}/{att}/{nm}/bias"] = r(4, 16)
+        npz[f"{root}/{att}/out/kernel"] = r(4, 16, 64)
+        npz[f"{root}/{att}/out/bias"] = r(64)
+        for ln in ("LayerNorm_0", "LayerNorm_2"):
+            npz[f"{root}/{ln}/scale"] = r(64)
+            npz[f"{root}/{ln}/bias"] = r(64)
+        npz[f"{root}/MlpBlock_3/Dense_0/kernel"] = r(64, 256)
+        npz[f"{root}/MlpBlock_3/Dense_0/bias"] = r(256)
+        npz[f"{root}/MlpBlock_3/Dense_1/kernel"] = r(256, 64)
+        npz[f"{root}/MlpBlock_3/Dense_1/bias"] = r(64)
+
+    new_vars, report = TI.import_vit_npz(npz, variables, hybrid=True)
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    assert not report["missing_in_jax"], report["missing_in_jax"][:5]
+    assert not report["unused_torch"], report["unused_torch"][:5]
+    out = model.apply(new_vars, x, train=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(out)).all()
