@@ -7,9 +7,13 @@ This kernel reformulates conv3×3 as Σ_{dy,dx} shift(x)·W[dy,dx] — each term
 DMA'd from HBM into VMEM (BlockSpecs cannot overlap, so the halo copy is
 manual). The epilogue (affine + ReLU, i.e. folded BN) is fused.
 
-Status: correctness-complete proof — compiles and runs on v5e (448→64@512²
-bs8: 35.5 ms vs XLA's fused 23.6 ms). The gap is the serial halo DMA; the
-round-2 fused decode-block adds double buffering + output-channel tiling.
+Status: correctness-complete experiment record — compiles and runs on v5e
+(448→64@512² bs8: 35.5 ms vs XLA's fused 23.6 ms; the gap is the serial halo
+DMA). Round 2 instead closed the decoder gap with exact XLA-level layout
+rewrites (ops/packed.py — see PERFORMANCE.md): the padding probe showed
+traffic already at logical bandwidth, so a fused Pallas node would at best
+match XLA's conv while adding Mosaic risk. Kept as the measured baseline any
+future Pallas conv work must beat, with the constraint list below.
 NOT wired into the model (XLA remains the default).
 
 Mosaic constraints found while building this (see also PERFORMANCE.md):

@@ -24,7 +24,6 @@ tests/test_spatial_sharding.py on the virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
