@@ -89,6 +89,18 @@ def test_upsample2x_matches_jax_image_resize():
     mm = np.einsum("Hh,nhwc->nHwc", Uh, np.asarray(x))
     mm = np.einsum("Ww,nhwc->nhWc", Uw, mm)
     np.testing.assert_allclose(mm, np.asarray(want), atol=1e-6)
+    # the TPU depthwise-transposed-conv form, evaluated in fp32 on CPU:
+    # edge-replicated pad + lhs_dilation=2 + separable [1,3,3,1]/4 kernel
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], jnp.float32)
+    k = jnp.broadcast_to((k1[:, None] * k1[None, :]).reshape(4, 4, 1, 1),
+                         (4, 4, 1, c))
+    y = jax.lax.conv_general_dilated(
+        xp, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    np.testing.assert_allclose(np.asarray(y[:, 2:2 + 2 * h, 2:2 + 2 * w]),
+                               np.asarray(want), atol=1e-5)
 
 
 def test_registry_unknown_raises():
