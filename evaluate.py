@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--best", default="true")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--tiled", action="store_true",
+                        help="sliding-window evaluation instead of the "
+                             "whole-image resize path (reference dice.py:33-151)")
     parser.add_argument("--config", default=None)
     args = parser.parse_args()
 
@@ -55,22 +58,55 @@ def main():
     ds = TestSegmentation(img_paths, mask_paths, gray=cfg.get("gray", False))
     first = ds[0]
     predictor = TTAPredictor(model, variables, cfg, tta=args.tta,
-                             ori_hw=(first["ori_h"], first["ori_w"]))
+                             ori_hw=(first["ori_h"], first["ori_w"]),
+                             resize=not args.tiled)
 
     rows = []
     stats_fn = jax.jit(M.per_image_stats)
     ap_fn = jax.jit(M.average_precision)
-    for batch in batch_iterator(ds, args.batch_size, shuffle=False):
-        probs = predictor.predict(batch["image"])
-        for i in range(batch["n_valid"]):
-            p = probs[i]
-            g = jnp.asarray(batch["mask"][i])
-            s = stats_fn((p > args.threshold).astype(jnp.float32), g)
-            ap = float(ap_fn(p, g)) if float(jnp.sum(g)) > 0 else float("nan")
-            rows.append([batch["filename"][i],
-                         round(float(s["dice"]), 4), round(float(s["iou"]), 4),
-                         round(float(s["ppv"]), 4), round(float(s["sn"]), 4),
-                         round(ap, 4) if np.isfinite(ap) else "n/a"])
+
+    def iter_predictions():
+        if not args.tiled:
+            for batch in batch_iterator(ds, args.batch_size, shuffle=False):
+                probs = predictor.predict(batch["image"])
+                for i in range(batch["n_valid"]):
+                    yield (batch["filename"][i], probs[i],
+                           jnp.asarray(batch["mask"][i]))
+            return
+        # tiled mode (reference dice.py:33-151): sliding-window prediction at
+        # the run's scale_size with the same fused TTA views per tile
+        from functools import partial
+        from eyediseasesegmentation_tpu.models import get_preprocessing_fn
+        from eyediseasesegmentation_tpu.ops.tiling import tiled_predict
+        from eyediseasesegmentation_tpu.utils import make_grid
+
+        scale_size = int(cfg.get("scale_size", 1024))
+        prep_fn, _, _ = get_preprocessing_fn(cfg.get("dataset_name", "IDRiD"),
+                                             cfg.get("gray", False))
+        window = min(2 * scale_size, first["ori_h"], first["ori_w"])
+        grid = jnp.asarray(make_grid((first["ori_h"], first["ori_w"]),
+                                     window=window, min_overlap=32))
+        tile_fn = lambda t: predictor._tta_probs(prep_fn(t)[None])[0]
+        predict = jax.jit(partial(tiled_predict, tile_fn, window=window,
+                                  scale_size=scale_size))
+        for i in range(len(ds)):
+            s = ds[i]
+            if (s["ori_h"], s["ori_w"]) != (first["ori_h"], first["ori_w"]):
+                raise ValueError(
+                    f"{s['filename']} is {(s['ori_h'], s['ori_w'])} but the "
+                    f"tile grid was built for the first image's "
+                    f"{(first['ori_h'], first['ori_w'])}")
+            yield (s["filename"],
+                   predict(jnp.asarray(s["image"], jnp.float32), grid=grid),
+                   jnp.asarray(s["mask"]))
+
+    for name, p, g in iter_predictions():
+        s = stats_fn((p > args.threshold).astype(jnp.float32), g)
+        ap = float(ap_fn(p, g)) if float(jnp.sum(g)) > 0 else float("nan")
+        rows.append([name,
+                     round(float(s["dice"]), 4), round(float(s["iou"]), 4),
+                     round(float(s["ppv"]), 4), round(float(s["sn"]), 4),
+                     round(ap, 4) if np.isfinite(ap) else "n/a"])
     means = [np.mean([r[i] for r in rows if isinstance(r[i], float)])
              for i in range(1, 5)]
     rows.append(["Avg:"] + [round(float(m), 4) for m in means] + [""])

@@ -170,7 +170,9 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
             yield batch
     finally:
         if pool is not None:
-            pool.shutdown(wait=False)
+            # wait=True: one batch's decodes are short, and abandoning the
+            # generator mid-epoch must not leave threads reading the dataset
+            pool.shutdown(wait=True)
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:

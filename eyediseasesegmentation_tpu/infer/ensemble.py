@@ -59,6 +59,21 @@ def make_sharded_ensemble(predictors: Sequence[TTAPredictor], mesh):
     m = len(predictors)
     assert m <= n_dev, f"{m} members > {n_dev} devices"
     ref = predictors[0]
+    # every member runs through predictor 0's model object + preprocessing
+    # config — reject config-heterogeneous ensembles up front instead of
+    # silently mispredicting members 1..M
+    keys = ("model_name", "model_params", "scale_size", "gray",
+            "use_ben_transform", "dataset_name")
+    ref_cfg = {k: ref.config.get(k) for k in keys}
+    for i, p in enumerate(predictors[1:], 1):
+        got = {k: p.config.get(k) for k in keys}
+        if got != ref_cfg or p.tta != ref.tta:
+            raise ValueError(
+                f"sharded ensemble member {i} differs from member 0 in "
+                f"model/preprocessing config: {got} vs {ref_cfg} "
+                f"(tta {p.tta!r} vs {ref.tta!r}); the device-axis ensemble "
+                "requires identical architectures and preprocessing — use "
+                "the unsharded path for heterogeneous ensembles.")
     member_vars = [p.variables for p in predictors]
     member_vars += [member_vars[0]] * (n_dev - m)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *member_vars)

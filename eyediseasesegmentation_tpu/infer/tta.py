@@ -234,7 +234,18 @@ class TTAPredictor:
         return probs
 
     def predict(self, raw_images) -> jnp.ndarray:
-        return self._predict_jit(jnp.asarray(raw_images, jnp.float32))
+        raw_images = jnp.asarray(raw_images, jnp.float32)
+        if self.resize and self.ori_hw is not None:
+            got = tuple(raw_images.shape[1:3])
+            if got != tuple(self.ori_hw):
+                raise ValueError(
+                    f"TTAPredictor.ori_hw is pinned to {tuple(self.ori_hw)} "
+                    f"(the first test image) but this batch is {got}. Mixed-"
+                    "size test directories are not supported by the whole-"
+                    "image path (the reference shares this quirk, "
+                    "lesion_dataset.py:102-107); run images of one size per "
+                    "pass or use tiled inference.")
+        return self._predict_jit(raw_images)
 
 
 # ---------------------------------------------------------------------------
@@ -335,9 +346,13 @@ test_tta.__test__ = False  # keep pytest from collecting the API function
 # ---------------------------------------------------------------------------
 
 def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
-                mesh=None) -> Dict[str, Any]:
+                mesh=None, metric: str = "pr") -> Dict[str, Any]:
     """Sliding-window inference as an on-device lax.scan (no host round-trips),
     then the same AUC/threshold/export pipeline.
+
+    ``metric='pr'`` is the lesion path (reference tta.py:216-236);
+    ``metric='roc'`` is the vessel tiled path, which reports the AUC-ROC
+    curve family instead (reference tta_vessel.py:206-218).
 
     ``mesh``: optional jax Mesh — the tile grid shards over its ``data`` axis
     (each chip scans its share of tiles, canvases combined with a
@@ -384,24 +399,38 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
     ap_sum, ap_count = 0.0, 0
     n_th = len(M.THRESH_LIST)
     tp = np.zeros(n_th); apc = np.zeros(n_th); pp = np.zeros(n_th)
+    tn = np.zeros(n_th); total_px = 0.0
+    score_fn = M.average_precision if metric == "pr" else M.roc_auc
     probs_list, names = [], []
     for i in range(len(ds)):
         s = ds[i]
+        if (s["ori_h"], s["ori_w"]) != (h0, w0):
+            raise ValueError(
+                f"tiled inference grid was built for {(h0, w0)} (the first "
+                f"test image) but {s['filename']} is "
+                f"{(s['ori_h'], s['ori_w'])}; mixed-size test directories "
+                "are not supported in one pass.")
         probs = predict(jnp.asarray(s["image"], jnp.float32),
                         grid=jnp.asarray(grid))
         g = jnp.asarray(s["mask"])
         probs_list.append(np.asarray(probs)); names.append(s["filename"])
         if float(jnp.sum(g)) > 0:
-            ap_sum += float(M.average_precision(probs, g))
+            ap_sum += float(score_fn(probs, g))
             ap_count += 1
-        t, a, q, _ = M.threshold_sweep(probs, g)
+        t, a, q, n = M.threshold_sweep(probs, g)
         tp += np.asarray(t); apc += np.asarray(a); pp += np.asarray(q)
+        tn += np.asarray(n); total_px += probs.size
 
     mean_auc = ap_sum / max(ap_count, 1)
-    from ..analysis.aucpr import pr_curve_report
+    from ..analysis.aucpr import pr_curve_report, roc_curve_report
     out_root = Path(cfg.get("out_dir", "outputs")) / cfg["dataset_name"]
-    thresholds = pr_curve_report(tp, apc, pp, logdir.name,
-                                 figure_dir=out_root / "figures" / cfg["lesion_type"])
+    figure_dir = out_root / "figures" / cfg["lesion_type"]
+    if metric == "pr":
+        thresholds = pr_curve_report(tp, apc, pp, logdir.name,
+                                     figure_dir=figure_dir)
+    else:
+        thresholds = roc_curve_report(tp, apc, tn, total_px, logdir.name,
+                                      figure_dir=figure_dir)
     optim = thresholds["optimal_threshold_2"]
     out_path = out_root / "tta" / cfg["lesion_type"] / logdir.name
     out_path.mkdir(parents=True, exist_ok=True)

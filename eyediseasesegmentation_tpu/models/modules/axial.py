@@ -82,14 +82,22 @@ class _Norm:
         self.initializing = module.is_initializing()
 
     def train_apply(self, x):
-        """BN with batch statistics over all-but-last axes; updates stats."""
+        """BN with batch statistics over all-but-last axes; updates stats.
+
+        Normalization uses the biased batch variance but the running stat is
+        updated with the UNBIASED one (n/(n−1)) — torch BatchNorm semantics,
+        pinned by tests/test_axial_torch_oracle.py."""
         xf = x.astype(_F32)
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axis=axes)
         var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
         if not self.initializing:
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            unbiased = var * (n / max(n - 1, 1))
             self.mean.value = self.momentum * self.mean.value + (1 - self.momentum) * mean
-            self.var.value = self.momentum * self.var.value + (1 - self.momentum) * var
+            self.var.value = self.momentum * self.var.value + (1 - self.momentum) * unbiased
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * self.scale + self.bias
         return y.astype(x.dtype)
 

@@ -224,6 +224,7 @@ class Trainer:
 
         def eval_step(state: TrainState, images, masks, n_valid):
             from ..ops import image as I
+            raw = images
             images = jax.vmap(transform.test)(images)
             m = masks[..., None] if masks.ndim == 3 else masks
             variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -246,8 +247,13 @@ class Trainer:
             # inserts the cross-device reduction
             tp, ap, pp, _ = M.threshold_sweep(
                 probs, tm, valid_mask=jnp.broadcast_to(vmask, probs.shape))
+            # raw image at eval geometry, for the best/worst-batch overlays
+            # (stays on device unless the host fetches it)
+            vis = jax.vmap(lambda im: I.longest_max_size_pad(
+                im, transform.image_size, method="linear"))(raw)
             return {"inter": inter, "pred": jnp.sum(pred), "true": jnp.sum(true),
-                    "tp": tp, "ap": ap, "pp": pp, "loss": val_loss}
+                    "tp": tp, "ap": ap, "pp": pp, "loss": val_loss,
+                    "vis_img": vis, "probs": probs[..., 0], "gt": tm[..., 0]}
 
         rep = replicated_sharding(self.mesh)
         img_shard = batch_sharding(self.mesh, ndim=4)
@@ -356,29 +362,66 @@ class Trainer:
                          for k in train_metrics[0]} if train_metrics else {}
 
             # ---- validate ----
+            # Epoch val dice/iou are PER-BATCH MEANS — the reference's Catalyst
+            # DiceCallback/IoUCallback semantics (train.py:300-309), which
+            # drive checkpoint selection and early stopping; the global-counts
+            # variants are logged alongside as val_dice_global/val_iou_global.
+            eps = 1e-7
             inter = pred = true = 0.0
             tp = np.zeros(len(M.THRESH_LIST)); ap = np.zeros_like(tp)
             pp = np.zeros_like(tp)
-            vlosses = []
+            vlosses, batch_dices, batch_ious = [], [], []
+            visualize = bool(cfg.get("visualize_batches", True))
+            best_b = worst_b = None  # ShowPolarBatchesCallback role
             for batch in prefetch(batch_iterator(valid_ds, batch_size,
                                                  workers=self.num_workers,
                                                  shuffle=False)):
                 r = self._eval_step(state, jnp.asarray(batch["image"]),
                                     jnp.asarray(batch["mask"]),
                                     jnp.asarray(batch["n_valid"]))
-                inter += float(r["inter"]); pred += float(r["pred"])
-                true += float(r["true"]); vlosses.append(float(r["loss"]))
+                bi, bp, bt = float(r["inter"]), float(r["pred"]), float(r["true"])
+                inter += bi; pred += bp
+                true += bt; vlosses.append(float(r["loss"]))
                 tp += np.asarray(r["tp"]); ap += np.asarray(r["ap"])
                 pp += np.asarray(r["pp"])
-            eps = 1e-7
-            val_dice = (2 * inter + eps) / (pred + true + eps)
-            val_iou = (inter + eps) / (pred + true - inter + eps)
+                bd = (2 * bi + eps) / (bp + bt + eps)
+                batch_dices.append(bd)
+                batch_ious.append((bi + eps) / (bp + bt - bi + eps))
+                if visualize:
+                    nv = int(batch["n_valid"])
+                    if best_b is None or bd > best_b[0]:
+                        best_b = (bd, np.asarray(r["vis_img"][:nv]),
+                                  np.asarray(r["gt"][:nv]),
+                                  np.asarray(r["probs"][:nv]))
+                    if worst_b is None or bd < worst_b[0]:
+                        worst_b = (bd, np.asarray(r["vis_img"][:nv]),
+                                   np.asarray(r["gt"][:nv]),
+                                   np.asarray(r["probs"][:nv]))
+            val_dice = float(np.mean(batch_dices)) if batch_dices else 0.0
+            val_iou = float(np.mean(batch_ious)) if batch_ious else 0.0
             sn = (tp + eps) / (ap + eps)
             ppv = (tp + eps) / (pp + eps)
             val_aucpr = float(np.trapezoid(ppv[::-1], sn[::-1]))
             val_metrics = {"dice": val_dice, "iou": val_iou,
+                           "dice_global": (2 * inter + eps) / (pred + true + eps),
+                           "iou_global": (inter + eps) / (pred + true - inter + eps),
                            "aucpr": val_aucpr,
                            "loss": float(np.mean(vlosses)) if vlosses else 0.0}
+
+            # best/worst val-batch overlays (the reference's
+            # ShowPolarBatchesCallback, train.py:323-327)
+            if visualize and best_b is not None:
+                from ..analysis.visualize import overlay_mask_image
+                vis_dir = logdir / "visuals"
+                vis_dir.mkdir(parents=True, exist_ok=True)
+                from PIL import Image as _Image
+                for tag, (d, im, gt, pr) in (("best", best_b), ("worst", worst_b)):
+                    panels = [overlay_mask_image(im[i], gt[i] > 0.5, pr[i] > 0.5)
+                              for i in range(im.shape[0])]
+                    strip = np.concatenate(panels, axis=1) if panels else None
+                    if strip is not None:
+                        _Image.fromarray(strip).save(
+                            vis_dir / f"epoch{epoch:03d}_{tag}_dice{d:.3f}.png")
 
             # ---- schedule / select / stop ----
             metric_val = val_metrics.get(self.metric_name, val_dice)

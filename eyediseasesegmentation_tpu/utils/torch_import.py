@@ -16,6 +16,11 @@ Numerically faithful: encoder 3×3 convs use torch-style explicit (1,1) padding
 so stride-2 blocks match torch exactly (XLA SAME pads asymmetrically).
 Known edge deviation: senet's stem maxpool is ceil_mode pad-0 vs our pad-1 —
 border rows may differ by one pooling window.
+
+Scope: local files only. The reference additionally resolves ``http(s)://``
+and ``torchvision://`` checkpoint URIs (util/checkpoint.py:107-137); this
+build runs in a zero-egress environment, so remote schemes are intentionally
+unsupported — download the .pth out of band and pass its path.
 """
 
 from __future__ import annotations

@@ -70,7 +70,9 @@ def start_experiment(args):
         result = test_tta(logdir, test_configs, args, metric="roc",
                           resize=False)
     else:
-        result = tta_patches(logdir, test_configs, args)
+        # vessel tiled inference reports the ROC curve family
+        # (reference tta_vessel.py:206-218)
+        result = tta_patches(logdir, test_configs, args, metric="roc")
     logging.info("inference result: %s", {k: v for k, v in result.items()
                                           if k != "out_dir"})
 

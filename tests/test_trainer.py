@@ -109,6 +109,25 @@ def test_flagship_learns(tmp_path_factory):
     assert dice[-1] > dice[0] * 2, f"no improvement: {dice}"
 
 
+def test_val_dice_semantics_and_visuals(run):
+    """Epoch val dice is the PER-BATCH MEAN (the reference's Catalyst
+    DiceCallback semantics, train.py:300-309) with the global-counts variant
+    logged alongside; each epoch writes best/worst val-batch overlays (the
+    ShowPolarBatchesCallback role, train.py:323-327)."""
+    rows = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+    for r in rows:
+        assert np.isfinite(r["val_dice"]) and np.isfinite(r["val_dice_global"])
+        assert 0.0 <= r["val_dice"] <= 1.0
+        assert np.isfinite(r["val_iou_global"])
+    visuals = sorted((run / "visuals").glob("*.png"))
+    # one best + one worst per epoch
+    assert len(visuals) == 2 * len(rows), visuals
+    assert any("best" in v.name for v in visuals)
+    assert any("worst" in v.name for v in visuals)
+    for v in visuals:
+        assert v.name.startswith("epoch")
+
+
 def test_tensorboard_events_written(run):
     """TB event files mirror metrics.jsonl (reference gets these from
     Catalyst's logdir writers, README.md:9)."""
@@ -154,6 +173,51 @@ def test_sharded_training_on_virtual_mesh(small_config, tmp_path_factory):
     logdir = train_model("mesh_exp", cfg, seed=1999, models_root=str(models_root))
     rows = [json.loads(l) for l in (logdir / "metrics.jsonl").read_text().splitlines()]
     assert np.isfinite(rows[0]["train_loss"])
+
+
+def test_sharded_training_equals_single_device():
+    """mesh={'data':4} must produce the SAME trajectory as mesh={'data':1}:
+    per-step loss/dice and the final params agree to fp tolerance — the
+    training analogue of test_sharded_tta's equality bar (SURVEY §2.11 DP)."""
+    import jax.numpy as jnp
+    from eyediseasesegmentation_tpu.train.trainer import Trainer
+
+    base = {
+        "dataset_name": "IDRiD", "lesion_type": "EX",
+        "augmentation": "normal", "scale_size": 32, "batch_size": 4,
+        "learning_rate": 1e-3, "weight_decay": 1e-5, "is_fp16": False,
+        "model_name": "classic_unet",
+        "model_params": {"filters": [4, 8], "classes": 1},
+        "criterion": {"bce": 0.8, "log_dice": 0.2}, "pos_weights": [5.0],
+        "optimizer": "adamw",
+    }
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(3, 4, 32, 32, 3) * 255, jnp.float32)
+    masks = jnp.asarray((rng.rand(3, 4, 32, 32) < 0.3), jnp.float32)
+
+    results = []
+    for n_dev in (1, 4):
+        tr = Trainer({**base, "mesh_shape": {"data": n_dev}}, seed=1999)
+        state = tr.init_state(jax.random.PRNGKey(0),
+                              sample_shape=(4, 32, 32, 3))
+        metrics = []
+        for step in range(3):
+            state, m = tr._train_step(state, images[step], masks[step],
+                                      jax.random.PRNGKey(7),
+                                      jnp.asarray(1e-3, jnp.float32))
+            metrics.append({k: float(v) for k, v in m.items()})
+        results.append((metrics, jax.device_get(state.params)))
+
+    (m1, p1), (m4, p4) = results
+    for s, (a, b) in enumerate(zip(m1, m4)):
+        for k in ("loss", "dice", "iou"):
+            np.testing.assert_allclose(b[k], a[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=f"step {s} metric {k}")
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat4 = jax.tree_util.tree_leaves(p4)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_resume_from_best_full(run, small_config):
