@@ -123,3 +123,34 @@ def test_sharded_ensemble_matches_host_mean(mesh):
     sharded = make_sharded_ensemble(preds, mesh)(imgs)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(host),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_flagship_matches_unsharded(mesh):
+    """The FULL flagship runs context-parallel: H-sharded stem/maxpool front,
+    replicated /4-and-below middle (incl. the axial layer4 — its height
+    attention never crosses a shard), H-sharded x_3_3..x_0_4+head tail with
+    psum'd scSE gates — and equals the unsharded normal path (round-2 review
+    item 4 / SURVEY §5.7)."""
+    from functools import partial
+
+    from eyediseasesegmentation_tpu import models as zoo
+    from eyediseasesegmentation_tpu.parallel.spatial_model import (
+        spatial_flagship_predict)
+
+    S, base_dim = 128, 4
+    model = zoo.get_model(
+        "unetplusplusstar",
+        {"encoder_name": "BoTSER50_Axial_Imagenet_3",
+         "decoder_attention_type": "scse", "base_dim": base_dim,
+         "classes": 1, "fast_inference": False},  # normal path = reference
+        training=False, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, S, S, 3), jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, x)
+
+    ref = model.apply(variables, x, train=False)
+    got = spatial_flagship_predict(variables, x, mesh, base_dim=base_dim)
+    assert got.shape == ref.shape == (2, S, S, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
