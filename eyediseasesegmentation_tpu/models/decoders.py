@@ -47,10 +47,16 @@ class DecoderBlock(nn.Module):
         ``packed_input=4`` (no-skip nodes): x is already s2d-packed and the
         whole node runs double-packed (factor 16) — the flagship's final
         x_0_3→x_0_4 chain then never materializes a <128-lane map."""
-        from ..ops.packed import depth_to_space
+        from ..ops.packed import depth_to_space, unpack_h2
 
         assert not train and not self.use_catt
-        pf = 4 * self.packed_input
+        # H2 layout (pack along H only) where 2·cout fills the MXU lanes:
+        # 4/3-inflation conv1 + 2×-inflation conv2 measured faster than the
+        # 16/9 / 4× full-s2d forms at cout=64 (tools/bench_wpack.py); the
+        # cout<64 nodes keep full s2d (128 lanes need factor 4 there)
+        h2 = (skip is not None and self.packed_input == 1
+              and not self.keep_packed and self.out_channels >= 64)
+        pf = 2 if h2 else 4 * self.packed_input
         if skip is not None:
             assert self.packed_input == 1
             skips = list(skip) if isinstance(skip, (list, tuple)) else [skip]
@@ -70,7 +76,9 @@ class DecoderBlock(nn.Module):
                     off += cp
             y = ConvBNReLU(self.out_channels, 3,
                            drop_block_prob=self.drop_block_prob,
-                           mode="s2d_out", dtype=self.dtype, name="conv1")(
+                           mode="h2_out" if h2 else "s2d_out",
+                           packed_factor=pf,
+                           dtype=self.dtype, name="conv1")(
                                parts, train, scales=scales)
         else:
             y = ConvBNReLU(self.out_channels, 3,
@@ -79,12 +87,14 @@ class DecoderBlock(nn.Module):
                            dtype=self.dtype, name="conv1")(x, train)
         y = ConvBNReLU(self.out_channels, 3,
                        drop_block_prob=self.drop_block_prob,
-                       mode="packed_in", packed_factor=pf,
+                       mode="h2_in" if h2 else "packed_in", packed_factor=pf,
                        dtype=self.dtype, name="conv2")(y, train)
         y = Attention(self.attention_type, packed=pf, dtype=self.dtype,
                       name="attention2")(y)
         if self.keep_packed:
             return y
+        if h2:
+            return unpack_h2(y)
         for _ in range(pf.bit_length() // 2):
             y = depth_to_space(y)
         return y

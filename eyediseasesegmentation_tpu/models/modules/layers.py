@@ -108,8 +108,11 @@ class Conv2d(nn.Module):
       * 'phase_up'  — input is the PRE-upsample map (unpacked if
                       packed_factor == 4, s2d-packed if 16); computes
                       conv3x3(bilinear_up2(x)) fused, packed output
-    ``packed_factor``: s2d pack depth of the packed side — 4 (one s2d) or
-    16 (two); the output of non-'normal' modes carries
+      * 'h2_out'    — unpacked input(s), output packed along H only
+                      (factor 2; 4/3 FLOPs for 2·cout lanes)
+      * 'h2_in'     — H2-packed input(s), H2-packed output (2× FLOPs)
+    ``packed_factor``: pack depth of the packed side — 2 (H2 modes), 4 (one
+    s2d) or 16 (two); the output of non-'normal' modes carries
     features × packed_factor channels.
     """
 
@@ -129,12 +132,13 @@ class Conv2d(nn.Module):
 
         k = self.kernel_size
         pf = self.packed_factor
-        assert scales is None or self.mode == "s2d_out"
+        assert scales is None or self.mode in ("s2d_out", "h2_out")
         if self.mode != "normal":
             assert k == 3 and self.strides == 1 and self.feature_group_count == 1
-            assert pf in (4, 16)
+            assert pf in (2, 4, 16)
             parts = list(x) if isinstance(x, (list, tuple)) else [x]
-            in_pf = {"packed_in": pf, "phase_up": pf // 4, "s2d_out": 1}[self.mode]
+            in_pf = {"packed_in": pf, "phase_up": pf // 4, "s2d_out": 1,
+                     "h2_out": 1, "h2_in": 2}[self.mode]
             cin = sum(p.shape[-1] for p in parts) // in_pf
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),
@@ -142,6 +146,11 @@ class Conv2d(nn.Module):
             if self.mode == "s2d_out":
                 y = PK.conv3x3_s2d_out(parts, kernel, dtype=self.dtype,
                                        scales=scales)
+            elif self.mode == "h2_out":
+                y = PK.conv3x3_h2_out(parts, kernel, dtype=self.dtype,
+                                      scales=scales)
+            elif self.mode == "h2_in":
+                y = PK.conv3x3_h2(parts, kernel, dtype=self.dtype)
             elif self.mode == "phase_up":
                 assert len(parts) == 1
                 fn = (PK.phase_upconv_s2d if pf == 4

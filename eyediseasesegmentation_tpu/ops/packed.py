@@ -90,6 +90,91 @@ def conv3x3_s2d_out(parts, k3: jnp.ndarray, dtype=jnp.bfloat16,
     return y
 
 
+def make_h2_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,cin,cout) HWIO → (4,3,cin,2·cout) stride-(2,1) kernel.
+
+    out[I,j,a·cout+co] of the stride-(2,1) conv (padding rows (1,2), cols
+    (1,1)) equals conv3x3_same(x)[2I+a, j, co]: row tap r = a+dy."""
+    cin, cout = k3.shape[2], k3.shape[3]
+    k4 = jnp.zeros((4, 3, cin, 2 * cout), k3.dtype)
+    for a in (0, 1):
+        k4 = k4.at[a:a + 3, :, :, a * cout:(a + 1) * cout].set(k3)
+    return k4
+
+
+def conv3x3_h2_out(parts, k3: jnp.ndarray, dtype=jnp.bfloat16,
+                   scales=None) -> jnp.ndarray:
+    """3×3 SAME conv over the (virtual) concat of ``parts``, output packed
+    along H only (factor 2, phase-major: channel a·cout+co = logical row
+    2I+a). 4/3 logical FLOPs for 2·cout lanes — the measured sweet spot for
+    the cout=64 tail (tools/bench_wpack.py: beats the 16/9 full-s2d form by
+    ~15-20%). Returns (N,H/2,W,2·cout)."""
+    parts = list(parts) if isinstance(parts, (list, tuple)) else [parts]
+    y = None
+    off = 0
+    for i, p in enumerate(parts):
+        c = p.shape[-1]
+        if scales is not None and scales[i] is not None:
+            p = p * scales[i].astype(p.dtype)
+        k4 = make_h2_kernel(k3[:, :, off:off + c]).astype(dtype)
+        yp = jax.lax.conv_general_dilated(
+            p.astype(dtype), k4, window_strides=(2, 1),
+            padding=((1, 2), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = yp if y is None else y + yp
+        off += c
+    return y
+
+
+def make_h2_packed_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,cin,cout) → (3,3,2·cin,2·cout) for conv on H2-packed data: input
+    channel p·cin+c is logical row 2I+p; output phase a taps logical row
+    2I+a+dy-1 = packed row I+((a+dy-1)>>1), phase (a+dy-1)&1. 2× logical
+    FLOPs (vs 4× for the full-s2d packed conv)."""
+    cin, cout = k3.shape[2], k3.shape[3]
+    kp = jnp.zeros((3, 3, 2 * cin, 2 * cout), k3.dtype)
+    for a in (0, 1):
+        for dy in range(3):
+            o = a + dy - 1
+            pr, ph = (o >> 1) + 1, o & 1
+            kp = kp.at[pr, :, ph * cin:(ph + 1) * cin,
+                       a * cout:(a + 1) * cout].set(k3[dy])
+    return kp
+
+
+def conv3x3_h2(parts, k3: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """3×3 SAME conv with H2-packed input(s) and H2-packed output.
+
+    parts: (N,H/2,W,2·Ci) H2-packed; k3: (3,3,ΣCi,cout) logical."""
+    parts = list(parts) if isinstance(parts, (list, tuple)) else [parts]
+    y = None
+    off = 0
+    for p in parts:
+        c = p.shape[-1] // 2
+        kp = make_h2_packed_kernel(k3[:, :, off:off + c]).astype(dtype)
+        yp = jax.lax.conv_general_dilated(
+            p.astype(dtype), kp, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = yp if y is None else y + yp
+        off += c
+    return y
+
+
+def unpack_h2(y: jnp.ndarray) -> jnp.ndarray:
+    """(N,H/2,W,2·C) H2-packed (phase-major) → (N,H,W,C) logical."""
+    n, hp, w, c2 = y.shape
+    c = c2 // 2
+    return (y.reshape(n, hp, w, 2, c).transpose(0, 1, 3, 2, 4)
+            .reshape(n, 2 * hp, w, c))
+
+
+def pack_h2(x: jnp.ndarray) -> jnp.ndarray:
+    """(N,H,W,C) → (N,H/2,W,2·C) H2-packed (phase-major)."""
+    n, h, w, c = x.shape
+    return (x.reshape(n, h // 2, 2, w, c).transpose(0, 1, 3, 2, 4)
+            .reshape(n, h // 2, w, 2 * c))
+
+
 def make_phase_up_kernel(k3: jnp.ndarray) -> jnp.ndarray:
     """(3,3,cin,cout) → (3,3,cin,4·cout) phase kernel K_ph with
     conv3x3_same(K_ph)(x)[i,j,(a·2+b)·cout+co] ==

@@ -201,3 +201,51 @@ def test_decoder_block_packed_input_exact():
     yf = fast.apply(va, space_to_depth(x), None, train=False)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# H2 (pack-along-H-only) layout — the cout>=64 tail's measured sweet spot
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w,cin,cout", [(16, 16, 7, 5), (8, 12, 3, 4)])
+def test_conv3x3_h2_out_exact(h, w, cin, cout):
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
+    ref = P.pack_h2(conv3x3(x, k))
+    got = P.conv3x3_h2_out([x], k, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # virtual concat + roundtrip
+    b = jnp.asarray(rng.randn(2, h, w, 3), jnp.float32)
+    k2 = jnp.asarray(rng.randn(3, 3, cin + 3, cout), jnp.float32)
+    ref2 = conv3x3(jnp.concatenate([x, b], -1), k2)
+    got2 = P.unpack_h2(P.conv3x3_h2_out([x, b], k2, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_h2_packed_in_exact():
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 12, 10, 6), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 6, 4), jnp.float32)
+    ref = P.pack_h2(conv3x3(x, k))
+    got = P.conv3x3_h2([P.pack_h2(x)], k, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_decoder_block_fast_exact_h2():
+    """cout>=64 skip nodes take the H2 branch; same params, same output."""
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    skips = [jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32),
+             jnp.asarray(rng.randn(2, 16, 16, 10), jnp.float32)]
+    kw = dict(in_channels=24, skip_channels=16, out_channels=64,
+              attention_type="scse", drop_block_prob=0.1, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, **kw)
+    ys, yf = _init_apply(slow, fast, (x, skips))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=2e-4, atol=2e-4)
