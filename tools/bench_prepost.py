@@ -71,7 +71,7 @@ def main():
           lambda p: jax.vmap(lambda q: I.resize(q, (H, W)))(p), small)
     # initial downscale alone
     timed("downscale alone full->680x1024",
-          lambda r: jax.vmap(lambda q: I.longest_max_size(q, S))(r), raw)
+          lambda r: jax.vmap(lambda q: I.longest_max_size_pad(q, S))(r), raw)
 
 
 if __name__ == "__main__":
