@@ -89,12 +89,15 @@ class DecoderBlock(nn.Module):
                        drop_block_prob=self.drop_block_prob,
                        mode="h2_in" if h2 else "packed_in", packed_factor=pf,
                        dtype=self.dtype, name="conv2")(y, train)
-        y = Attention(self.attention_type, packed=pf, dtype=self.dtype,
-                      name="attention2")(y)
+        # at h2 nodes the gating multiply and the H2 un-interleave fuse into
+        # one pass (SCSEAttention.unpack_h2)
+        y = Attention(self.attention_type, packed=pf,
+                      unpack_h2=h2 and not self.keep_packed,
+                      dtype=self.dtype, name="attention2")(y)
         if self.keep_packed:
             return y
         if h2:
-            return unpack_h2(y)
+            return unpack_h2(y) if self.attention_type is None else y
         for _ in range(pf.bit_length() // 2):
             y = depth_to_space(y)
         return y

@@ -90,18 +90,24 @@ class Bottleneck(nn.Module):
 
 class _StemConv(nn.Module):
     """7×7 stride-2 stem conv with the same param tree as nn.Conv
-    ('kernel', HWIO) and an exact s2d fast path (ops/packed.stem7_s2d)."""
+    ('kernel', HWIO) and exact s2d fast paths (ops/packed.stem7_s2d /
+    stem7_s2d2). mode: 'normal' | 's2d' (logical output) | 's2d2'
+    (double-packed input, f4-PACKED output — caller runs BN packed and
+    depth_to_space's afterwards; the measured-fastest form on v5e)."""
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, fast: bool = False):
+    def __call__(self, x, mode: str = "normal"):
         import jax as _jax
 
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, x.shape[-1], self.features), jnp.float32)
-        if fast:
+        if mode == "s2d2":
+            from ..ops.packed import stem7_s2d2
+            return stem7_s2d2(x, kernel, dtype=self.dtype)
+        if mode == "s2d":
             from ..ops.packed import stem7_s2d
             return stem7_s2d(x, kernel, dtype=self.dtype)
         return _jax.lax.conv_general_dilated(
@@ -147,10 +153,14 @@ class ResNetEncoder(nn.Module):
                 if self.fast_inference is None else self.fast_inference)
         fast = fast and not train and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         # stem: conv7x7 s2 + BN + ReLU (pool applied before stage 1, feature
-        # extracted pre-pool — reference unetplusplusstar.py:286-287)
+        # extracted pre-pool — reference unetplusplusstar.py:286-287).
+        # NOTE: the double-s2d stem (stem7_s2d2, 'f16-in') wins in isolation
+        # (1.21 vs 3.45 ms conv-only) but LOSES end-to-end with its BN+d2s
+        # chain (7.0-8.5 vs 6.2 ms measured on v5e) — single s2d stays.
         y = _StemConv(self.stem_width, dtype=self.dtype,
-                      name="stem_conv")(x, fast)
-        y = BatchNorm(dtype=self.dtype, frozen=self.frozen_bn, name="stem_bn")(y, train)
+                      name="stem_conv")(x, "s2d" if fast else "normal")
+        y = BatchNorm(dtype=self.dtype, frozen=self.frozen_bn,
+                      name="stem_bn")(y, train)
         y = nn.relu(y)
         feats.append(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

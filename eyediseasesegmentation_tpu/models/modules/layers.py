@@ -277,6 +277,11 @@ class SCSEAttention(nn.Module):
 
     reduction: int = 16
     packed: int = 1  # 4: input is one s2d-packed tensor, params logical
+    # unpack_h2: input is H2-packed (packed == 2, phase-major along H); emit
+    # the gated output UNPACKED — the gating multiply and the H2 un-
+    # interleave fuse into one pass (measured 1.06 vs 1.87 + 1.72 ms split
+    # at the x_1_3 shape, tools/bench_wpack2 probes).
+    unpack_h2: bool = False
     # return_gates: return (channel_gate (N,1,1,C), spatial_gate (N,H,W,1))
     # instead of gated parts — the fast tail path fuses the multiply into the
     # following conv's input instead of materializing gated maps.
@@ -357,6 +362,9 @@ class SCSEAttention(nn.Module):
         y = (xp.reshape(n, h, w, self.packed, c)
              * (gate_c[:, :, :, None, :].astype(xp.dtype)
                 + gate_s[..., None].astype(xp.dtype)))
+        if self.unpack_h2:
+            assert self.packed == 2
+            return y.transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, w, c)
         return y.reshape(n, h, w, cf)
 
 
@@ -365,6 +373,7 @@ class Attention(nn.Module):
 
     attention_type: Optional[str] = None
     packed: int = 1
+    unpack_h2: bool = False
     return_gates: bool = False
     up_part0: bool = False
     dtype: Dtype = jnp.float32
@@ -375,6 +384,7 @@ class Attention(nn.Module):
             return (None, None) if self.return_gates else x
         if self.attention_type == "scse":
             return SCSEAttention(packed=self.packed,
+                                 unpack_h2=self.unpack_h2,
                                  return_gates=self.return_gates,
                                  up_part0=self.up_part0, dtype=self.dtype)(x)
         raise ValueError(f"Unknown attention type {self.attention_type}")

@@ -373,6 +373,48 @@ def stem7_s2d(x: jnp.ndarray, k7: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def stem7_s2d2(x: jnp.ndarray, k7: jnp.ndarray,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Stride-2 7×7 stem conv with DOUBLE space-to-depth input packing and
+    f4-packed output. The conv alone wins on v5e (1.21 vs 3.45 ms at
+    8×1024²: the MXU K axis sees 48 input channels and the output fills
+    4·cout lanes) but the full stem chain (conv + packed BN/ReLU + d2s)
+    measured 7.0-8.5 ms vs 6.2 ms for the single-s2d form — NOT wired into
+    the encoders; kept as the measured record for future stem work.
+
+    x: (N,H,W,cin), H,W divisible by 4; k7: (7,7,cin,cout).
+    Returns (N,H/4,W/4,4·cout) == space_to_depth(stem conv output): a 3×3
+    stride-1 conv over the twice-packed (H/4,W/4,16·cin) grid. Derivation:
+    logical output row p = 2P+a taps logical input rows 4P+2a+t-3 for
+    t ∈ 0..6; writing 2a+t-3 = 4·dP+α with α ∈ 0..3 gives dP ∈ {-1,0,1}.
+    The packed one-block zero pad covers the logical 3-pixel pad exactly
+    (the unreachable 4th pad pixel has a zero kernel slot).
+    """
+    cin, cout = k7.shape[2], k7.shape[3]
+    xp = space_to_depth(space_to_depth(x))  # ch ((a2,b2),(a1,b1),c)
+    k = jnp.zeros((3, 3, 16 * cin, 4 * cout), k7.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            g = (a * 2 + b) * cout
+            for dP in (-1, 0, 1):
+                for alpha in range(4):
+                    t = 4 * dP + alpha + 3 - 2 * a
+                    if not 0 <= t <= 6:
+                        continue
+                    for dQ in (-1, 0, 1):
+                        for beta in range(4):
+                            u = 4 * dQ + beta + 3 - 2 * b
+                            if not 0 <= u <= 6:
+                                continue
+                            ci = (((alpha >> 1) * 2 + (beta >> 1)) * 4
+                                  + (alpha & 1) * 2 + (beta & 1)) * cin
+                            k = k.at[dP + 1, dQ + 1, ci:ci + cin,
+                                     g:g + cout].set(k7[t, u])
+    return jax.lax.conv_general_dilated(
+        xp.astype(dtype), k.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 # ---------------------------------------------------------------------------
 # Packed-tensor helpers (logical params on packed data)
 # ---------------------------------------------------------------------------

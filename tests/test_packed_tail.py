@@ -249,3 +249,32 @@ def test_decoder_block_fast_exact_h2():
     ys, yf = _init_apply(slow, fast, (x, skips))
     np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_stem7_s2d2_exact():
+    """double-s2d stem == s2d(lax 7x7/2 conv with 3-pixel zero pad)."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 16, 12, 3), jnp.float32)
+    k7 = jnp.asarray(rng.randn(7, 7, 3, 8), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k7, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = P.stem7_s2d2(x, k7, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(space_to_depth(ref)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scse_unpack_h2_fused_exact():
+    """packed scSE with the fused H2 un-interleave == gate then unpack."""
+    from eyediseasesegmentation_tpu.models.modules.layers import SCSEAttention
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 10, 8, 12), jnp.float32)
+    xp = P.pack_h2(x)
+    plain = SCSEAttention(packed=2, dtype=jnp.float32)
+    fused = SCSEAttention(packed=2, unpack_h2=True, dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), xp)
+    ref = P.unpack_h2(plain.apply(params, xp))
+    got = fused.apply(params, xp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
