@@ -34,6 +34,7 @@ from ..data.datasets import batch_iterator
 from ..ops import losses as L
 from ..ops import metrics as M
 from ..optim import get_optimizer
+from ..parallel import batch_sharding, make_mesh, replicated_sharding
 from .checkpoint import save_checkpoint
 
 logger = logging.getLogger("eyediseasesegmentation_tpu")
@@ -87,6 +88,12 @@ class GanTrainer:
             training=True, dtype=jnp.float32)
         self.discriminator = DNet()
         self.seg_loss = L.get_loss(cfg.get("seg_loss", "bce"))
+        mesh_shape = cfg.get("mesh_shape")
+        if not mesh_shape:
+            import math
+            data = math.gcd(int(cfg.get("batch_size", 2)), jax.device_count())
+            mesh_shape = {"data": max(data, 1)}
+        self.mesh = make_mesh(mesh_shape)
         self._build_step()
 
     def _build_step(self):
@@ -135,7 +142,24 @@ class GanTrainer:
             return (g_params, new_bs, d_params, g_opt, d_opt,
                     {"d_loss": d_loss, "g_loss": g_loss, "seg": seg, "adv": adv})
 
-        self._step = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
+        # batch sharded over the mesh's data axis, G/D params replicated —
+        # GSPMD inserts both models' gradient all-reduces (house style,
+        # train/trainer.py); patch grids reshape the batch dim only, so the
+        # per-device patch grid stays local to its shard
+        rep = replicated_sharding(self.mesh)
+        img_shard = batch_sharding(self.mesh, ndim=4)
+        mask_shard = batch_sharding(self.mesh, ndim=3)
+        self._step = jax.jit(
+            step, donate_argnums=(0, 1, 2, 3, 4),
+            in_shardings=(rep, rep, rep, rep, rep, img_shard, mask_shard, rep))
+
+        def fwd(g_params, g_bs, images):
+            out = G.apply({"params": g_params, "batch_stats": g_bs},
+                          images, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jax.nn.sigmoid(logits.astype(jnp.float32))[..., 0]
+
+        self._fwd = jax.jit(fwd, in_shardings=(rep, rep, img_shard))
 
     def init(self, rng):
         cfg = self.configs
@@ -150,20 +174,18 @@ class GanTrainer:
         self.d_tx = get_optimizer("adam",
                                   float(cfg.get("d_learning_rate", 1e-4)))
         from flax.core import FrozenDict
-        return (g_vars["params"], g_vars.get("batch_stats", FrozenDict()),
-                d_vars["params"],
-                self.g_tx.init(g_vars["params"]), self.d_tx.init(d_vars["params"]))
+        state = (g_vars["params"], g_vars.get("batch_stats", FrozenDict()),
+                 d_vars["params"],
+                 self.g_tx.init(g_vars["params"]),
+                 self.d_tx.init(d_vars["params"]))
+        return jax.device_put(state, replicated_sharding(self.mesh))
 
     def evaluate_ap(self, g_params, g_bs, dataset, batch_size: int = 2) -> float:
         """Mean average precision over a dataset (eval_model, l.93-129)."""
         ap_sum, count = 0.0, 0
         for batch in batch_iterator(dataset, batch_size, shuffle=False):
             imgs = jnp.asarray(batch["image"], jnp.float32)
-            out = self.generator.apply(
-                {"params": g_params, "batch_stats": g_bs}, imgs, train=False)
-            if isinstance(out, tuple):
-                out = out[0]
-            probs = jax.nn.sigmoid(out.astype(jnp.float32))[..., 0]
+            probs = self._fwd(g_params, g_bs, imgs)
             for i in range(batch["n_valid"]):
                 g = jnp.asarray(batch["mask"][i])
                 if float(jnp.sum(g)) > 0:
