@@ -27,7 +27,8 @@ from .fpn import FPN
 from .deeplabv3plus import DeepLabV3Plus
 from .unet3plus import UNet3Plus
 from .classic import ClassicUNet, AttUNet, R2UNet, R2AttUNet, SAUnet
-from .transformers import SegformerStar, SwinformerStar, TransUnet
+from .transformers import (SegformerStar, SwinformerStar, TransUnet,
+                            TransUnetV2)
 from .misc import (DcUnet, DoubleUnet, HEDUNet, HRNet, MedT,
                    ResAxialAttentionUNet, ResUnetPlusPlus, UneXt50,
                    UnetSEResNext101)
@@ -116,7 +117,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # --- TransUNet family (transunet.py:519-546, transunetv2.py) ---
     "transunet_r50": _factory(TransUnet, hybrid=True),
     "transunet_b16": _factory(TransUnet, hybrid=False),
-    "TransUnet_V2": _factory(TransUnet, hybrid=False, depth=2, hidden=128),
+    "TransUnet_V2": _factory(TransUnetV2),
     # --- UNet3+ (unet3plus.py:553-556) ---
     "Unet3Plus_Base": _factory(UNet3Plus),
     "Unet3Plus_DS": _factory(UNet3Plus, deep_supervision=True),

@@ -597,3 +597,134 @@ class TransUnet(nn.Module):
             y = jax.image.resize(y, (n, H, W, y.shape[-1]), "bilinear")
         return SegmentationHead(self.classes, dtype=self.dtype,
                                 name="segmentation_head")(y)
+
+
+# ---------------------------------------------------------------------------
+# TransUnetV2 — the self_attention_cv variant (reference transunetv2.py)
+# ---------------------------------------------------------------------------
+
+class _SacvBottleneck(nn.Module):
+    """Single ResNet bottleneck as in self_attention_cv's bottleneck_layer
+    (reference transunetv2.py:45-47 uses one per stage, stride 2):
+    1×1 → BN/ReLU → 3×3(stride) → BN/ReLU → 1×1 → BN, projection shortcut."""
+
+    out_ch: int
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = self.out_ch // 4
+        s = (self.stride, self.stride)
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(x)
+        y = nn.relu(BatchNorm(dtype=self.dtype, name="bn1")(y, train))
+        y = nn.Conv(width, (3, 3), strides=s, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
+        y = nn.relu(BatchNorm(dtype=self.dtype, name="bn2")(y, train))
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv3")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn3")(y, train)
+        sc = nn.Conv(self.out_ch, (1, 1), strides=s, use_bias=False,
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name="downsample")(x)
+        sc = BatchNorm(dtype=self.dtype, name="bn_down")(sc, train)
+        return nn.relu(y + sc)
+
+
+class _SacvPostNormBlock(nn.Module):
+    """Post-norm transformer block (self_attention_cv TransformerBlock,
+    prenorm=False): x = LN(MHSA(x) + x); x = LN(MLP(x) + x)."""
+
+    features: int
+    heads: int
+    mlp_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, L, c = x.shape
+        head_dim = self.features // self.heads
+        qkv = nn.Dense(3 * self.features, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(n, L, 3, self.heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("nhqd,nhkd->nhqk", q, k) / np.sqrt(head_dim)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(self.dtype)
+        o = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        o = o.transpose(0, 2, 1, 3).reshape(n, L, self.features)
+        o = nn.Dense(self.features, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj")(o)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + o)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp1")(x)
+        y = jax.nn.gelu(y)
+        y = nn.Dense(self.features, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp2")(y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+class TransUnetV2(nn.Module):
+    """The self_attention_cv TransUnet variant (reference transunetv2.py).
+
+    Distinct from :class:`TransUnet` (the official-paper R50/B16 hybrid):
+    7×7/2 stem to 128ch, THREE single bottlenecks (×2 channels, /2 each) to
+    1024ch at /16, a post-norm ViT (patch 1, dim 1024, 12 blocks, 4 heads,
+    MLP 1024) over the /16 tokens, a 3×3 conv to 512, then Up blocks
+    (bilinear ×2 + skip concat + single 3×3 conv+BN+ReLU) mirroring
+    transunetv2.py:60-79's dec1-dec4 and the final 1×1 head.
+    """
+
+    classes: int = 1
+    vit_blocks: int = 12
+    vit_heads: int = 4
+    vit_mlp: int = 1024
+    inplanes: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, H, W, _ = x.shape
+        vit_ch = self.inplanes * 8
+
+        y = nn.Conv(self.inplanes, (7, 7), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="init_conv")(x)
+        x2 = nn.relu(BatchNorm(dtype=self.dtype, name="init_bn")(y, train))
+        x4 = _SacvBottleneck(self.inplanes * 2, dtype=self.dtype,
+                             name="conv1")(x2, train)
+        x8 = _SacvBottleneck(self.inplanes * 4, dtype=self.dtype,
+                             name="conv2")(x4, train)
+        x16 = _SacvBottleneck(vit_ch, dtype=self.dtype,
+                              name="conv3")(x8, train)
+
+        nh, hh, ww, c = x16.shape
+        seq = x16.reshape(nh, hh * ww, c)
+        # patch_dim=1 ViT: linear patch projection + learnable pos embedding
+        seq = nn.Dense(vit_ch, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="project_patches")(seq)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, hh * ww, vit_ch), jnp.float32)
+        seq = seq + pos.astype(seq.dtype)
+        for i in range(self.vit_blocks):
+            seq = _SacvPostNormBlock(vit_ch, self.vit_heads, self.vit_mlp,
+                                     dtype=self.dtype, name=f"vit{i}")(seq)
+        y = seq.reshape(nh, hh, ww, vit_ch)
+
+        def single_conv(y, out_ch, name):
+            y = nn.Conv(out_ch, (3, 3), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"{name}_conv")(y)
+            return nn.relu(BatchNorm(dtype=self.dtype,
+                                     name=f"{name}_bn")(y, train))
+
+        y = single_conv(y, 512, "vit_conv")
+        for i, (skip, out_ch) in enumerate(
+                [(x8, 256), (x4, 128), (x2, 64), (None, 16)]):
+            b, h, w, cc = y.shape
+            y = jax.image.resize(y, (b, 2 * h, 2 * w, cc), "bilinear")
+            if skip is not None:
+                y = jnp.concatenate([skip.astype(y.dtype), y], axis=-1)
+            y = single_conv(y, out_ch, f"dec{i + 1}")
+        return nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="head")(
+                           y).astype(jnp.float32)

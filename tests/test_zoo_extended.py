@@ -54,7 +54,8 @@ FAMILIES = [
     ("resunetplusplus", {"filters": (8, 16, 32)}),
     ("unet_resnext50_ssl", {}),
     ("transunet_b16", {"hidden": 64, "depth": 1, "heads": 4}),
-    ("TransUnet_V2", {"hidden": 64, "depth": 1, "heads": 4}),
+    ("TransUnet_V2", {"vit_blocks": 1, "vit_heads": 2, "vit_mlp": 64,
+                      "inplanes": 16}),
 ]
 
 
