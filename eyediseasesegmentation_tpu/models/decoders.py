@@ -36,7 +36,36 @@ class DecoderBlock(nn.Module):
     fast_tail: bool = False    # eval-only s2d-packed rewrite (ops/packed.py)
     keep_packed: bool = False  # fast path: skip the final depth_to_space
     packed_input: int = 1      # 4: x arrives s2d-packed (no-skip fast only)
+    # pallas_tail: route the skip nodes of the fast tail through the fused
+    # Pallas decode-node kernel (ops/pallas_scse_conv.py) instead of the
+    # H2/s2d packed-layout XLA forms
+    pallas_tail: bool = False
     dtype: Dtype = jnp.float32
+
+    def _pallas_call(self, x, skip, train):
+        """attention1+conv1+BN+ReLU as ONE fused Pallas pass, conv2+BN+ReLU
+        as a second (ungated) pass, attention2 in plain NHWC. Same params
+        and module names as the normal path."""
+        skips = list(skip) if isinstance(skip, (list, tuple)) else [skip]
+        gate_c, sse_k, sse_b = Attention(
+            self.attention_type, raw_gates=True, up_part0=True,
+            dtype=self.dtype, name="attention1")([x] + skips)
+        parts = [upsample2x(x)] + skips
+        gate = None if gate_c is None else (gate_c, sse_k, sse_b)
+        y = ConvBNReLU(self.out_channels, 3,
+                       drop_block_prob=self.drop_block_prob, mode="pallas",
+                       dtype=self.dtype, name="conv1")(parts, train, gate=gate)
+        # conv2 stays an XLA s2d rewrite: measured 3.8 vs 6.6 ms (64ch) /
+        # 3.0 vs 7.1 ms (32ch) against the ungated kernel at 512² — the
+        # single-part kernel pays K-padding (64→128) and per-row overhead
+        from ..ops.packed import depth_to_space
+        y = ConvBNReLU(self.out_channels, 3,
+                       drop_block_prob=self.drop_block_prob, mode="s2d_out",
+                       packed_factor=4, dtype=self.dtype,
+                       name="conv2")([y], train)
+        y = Attention(self.attention_type, packed=4, dtype=self.dtype,
+                      name="attention2")(y)
+        return depth_to_space(y)
 
     def _fast_call(self, x, skip, train):
         """Same math as the normal path, emitted in s2d-packed layout: the
@@ -50,6 +79,9 @@ class DecoderBlock(nn.Module):
         from ..ops.packed import depth_to_space, unpack_h2
 
         assert not train and not self.use_catt
+        if (self.pallas_tail and skip is not None
+                and self.packed_input == 1 and not self.keep_packed):
+            return self._pallas_call(x, skip, train)
         # H2 layout (pack along H only) where 2·cout fills the MXU lanes:
         # 4/3-inflation conv1 + 2×-inflation conv2 measured faster than the
         # 16/9 / 4× full-s2d forms at cout=64 (tools/bench_wpack.py); the
@@ -215,6 +247,7 @@ class UnetPlusPlusDecoder(nn.Module):
     fast_inference: bool = False
     fast_min_res: int = 512
     packed_final: bool = False  # hand the final map to the head s2d-packed
+    pallas_tail: bool = False   # fused Pallas kernel for the skip tail nodes
     # per-node gradient rematerialization: each grid node's activations are
     # recomputed during backward (segment = one DecoderBlock), cutting the
     # training activation peak without the whole-graph remat's single giant
@@ -256,7 +289,8 @@ class UnetPlusPlusDecoder(nn.Module):
                 in_ch, skip_ch, out_ch, base_dim=self.base_dim, level=layer_idx,
                 use_catt=use_catt, attention_type=self.attention_type,
                 drop_block_prob=self.drop_block_prob, fast_tail=fast,
-                keep_packed=keep_packed, dtype=self.dtype,
+                keep_packed=keep_packed, pallas_tail=self.pallas_tail,
+                dtype=self.dtype,
                 name=f"x_{depth_idx}_{layer_idx}",
             )
 

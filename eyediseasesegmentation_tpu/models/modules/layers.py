@@ -38,14 +38,22 @@ class BatchNorm(nn.Module):
     packed: int = 1  # s2d pack factor of the input; params stay logical
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        c = x.shape[-1] // self.packed
+    def __call__(self, x, train: bool = False, fold_only: bool = False):
+        # fold_only: x is the channel COUNT; declare the identical params /
+        # running stats and return the folded eval (scale, bias) f32 pair for
+        # a fused consumer (the Pallas decode-node kernel) instead of
+        # applying them
+        c = (int(x) if fold_only else x.shape[-1]) // self.packed
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        if fold_only:
+            assert not train and self.packed == 1
+            scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return scale, beta - ra_mean.value * scale
         use_running = (not train) or self.frozen
         if self.packed > 1:
             assert use_running, "packed BatchNorm is an eval-only rewrite"
@@ -126,9 +134,23 @@ class Conv2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, scales=None):
+    def __call__(self, x, scales=None, params_only: bool = False):
         from ...ops.fastconv import conv3x3_s2d, pack_kernel_3x3, should_pack
         from ...ops import packed as PK
+
+        if params_only:
+            # declare the identical logical params and hand them to a fused
+            # consumer (the Pallas decode-node kernel)
+            parts = list(x) if isinstance(x, (list, tuple)) else [x]
+            cin = sum(p.shape[-1] for p in parts)
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.kernel_size, self.kernel_size, cin, self.features),
+                jnp.float32)
+            if not self.use_bias:
+                return kernel, None
+            return kernel, self.param("bias", nn.initializers.zeros,
+                                      (self.features,), jnp.float32)
 
         k = self.kernel_size
         pf = self.packed_factor
@@ -225,7 +247,37 @@ class ConvBNReLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, scales=None):
+    def __call__(self, x, train: bool = False, scales=None, gate=None):
+        if self.mode == "pallas":
+            # whole stage (optional scSE input gate -> conv3x3 over the
+            # virtual concat -> folded BN -> ReLU) as ONE Pallas kernel /
+            # HBM pass (ops/pallas_scse_conv.py). Params and module names
+            # are identical to the normal path. ``gate`` is the raw-gates
+            # triple from Attention(raw_gates=True), or None for the
+            # ungated conv2 form.
+            import jax as _jax
+            from ...ops.pallas_scse_conv import scse_conv3x3_bn_relu
+
+            assert not train, "pallas ConvBNReLU is an eval-only rewrite"
+            parts = list(x) if isinstance(x, (list, tuple)) else [x]
+            parts = [p.astype(self.dtype) for p in parts]
+            kernel, conv_bias = Conv2d(
+                self.features, kernel_size=self.kernel_size,
+                strides=self.strides, use_bias=not self.use_batchnorm,
+                dtype=self.dtype, name="conv")(parts, params_only=True)
+            if self.use_batchnorm:
+                scale, bias = BatchNorm(dtype=self.dtype)(
+                    self.features, fold_only=True)
+            else:
+                scale, bias = None, conv_bias
+            C = sum(p.shape[-1] for p in parts)
+            gated = gate is not None
+            if not gated:
+                gate = (jnp.zeros((parts[0].shape[0], C), jnp.float32),
+                        jnp.zeros((C,), jnp.float32), jnp.float32(0.0))
+            return scse_conv3x3_bn_relu(
+                parts, *gate, kernel, scale, bias, relu=True, gated=gated,
+                interpret=_jax.default_backend() != "tpu")
         x = Conv2d(
             self.features,
             kernel_size=self.kernel_size,
@@ -286,6 +338,11 @@ class SCSEAttention(nn.Module):
     # instead of gated parts — the fast tail path fuses the multiply into the
     # following conv's input instead of materializing gated maps.
     return_gates: bool = False
+    # raw_gates: return (channel_gate (N,C) f32, sse_kernel (C,) f32,
+    # sse_bias () f32) — the Pallas decode-node kernel computes the spatial
+    # gate itself from its resident tile, so only the pooled-mean channel
+    # gate and the raw sSE 1×1 params leave this module.
+    raw_gates: bool = False
     # up_part0: part 0 is the PRE-×2-upsample map: its pooled mean equals the
     # upsampled map's (bilinear columns sum to 2) and its sSE contribution is
     # upsampled after the 1×1 conv (conv1x1 ∘ up2 == up2 ∘ conv1x1) — the big
@@ -311,6 +368,12 @@ class SCSEAttention(nn.Module):
         kernel = self.param("sse_kernel", nn.initializers.lecun_normal(),
                             (1, 1, c, 1), jnp.float32)
         bias = self.param("sse_bias", nn.initializers.zeros, (1,), jnp.float32)
+        if self.raw_gates:
+            # sigmoid in the compute dtype (matches the normal path's
+            # numerics), upcast for the kernel's f32 gate math
+            return (jax.nn.sigmoid(s).astype(jnp.float32).reshape(
+                        s.shape[0], c),
+                    kernel[0, 0, :, 0], bias[0])
         # the 1x1 conv expressed as a channel reduce so XLA fuses it with the
         # pooled-mean reduce above into ONE read per part (measured
         # 6.1 -> 2.7 ms at the x_1_3 shape); t kept 3-D until the very end;
@@ -375,17 +438,21 @@ class Attention(nn.Module):
     packed: int = 1
     unpack_h2: bool = False
     return_gates: bool = False
+    raw_gates: bool = False
     up_part0: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         if self.attention_type is None:
+            if self.raw_gates:
+                return (None, None, None)
             return (None, None) if self.return_gates else x
         if self.attention_type == "scse":
             return SCSEAttention(packed=self.packed,
                                  unpack_h2=self.unpack_h2,
                                  return_gates=self.return_gates,
+                                 raw_gates=self.raw_gates,
                                  up_part0=self.up_part0, dtype=self.dtype)(x)
         raise ValueError(f"Unknown attention type {self.attention_type}")
 

@@ -38,6 +38,13 @@ class UnetPlusPlusStar(nn.Module):
     # None = auto (enabled on TPU). Exact up to float reassociation.
     fast_inference: Optional[bool] = None
     fast_min_res: int = 512
+    # fused Pallas decode-node kernel for the fast tail's skip nodes
+    # (ops/pallas_scse_conv.py). Exact up to float reassociation; OPT-IN:
+    # the kernel beats the XLA H2 form per isolated node (x_1_3 27.4 vs
+    # 29.9 ms) but loses in-graph (207 vs 194 ms full forward) because the
+    # custom call blocks the cross-node gate-reduce fusions the XLA path
+    # gets for free (PERFORMANCE.md round-3).
+    pallas_tail: Optional[bool] = None
     # per-block gradient rematerialization under train: one remat segment per
     # encoder block / decoder grid node — the activation peak drops to about
     # one segment's working set (whole-model jax.checkpoint recomputes in a
@@ -61,6 +68,8 @@ class UnetPlusPlusStar(nn.Module):
             clf = ClassificationHead(self.classes, dropout=0.1, dtype=self.dtype,
                                      name="classification_head")(features[-1], train)
 
+        pallas_tail = (False if self.pallas_tail is None
+                       else (fast and self.pallas_tail))
         decoder_out = UnetPlusPlusDecoder(
             encoder_channels=enc_channels,
             decoder_channels=self.decoder_channels,
@@ -71,6 +80,7 @@ class UnetPlusPlusStar(nn.Module):
             drop_block_prob=self.drop_block_prob,
             fast_inference=fast,
             fast_min_res=self.fast_min_res,
+            pallas_tail=pallas_tail,
             packed_final=True,
             remat=self.remat,
             dtype=self.dtype,

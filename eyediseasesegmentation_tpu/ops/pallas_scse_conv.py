@@ -85,9 +85,13 @@ def _kernel(gc_ref, wsse_ref, bsse_ref, wm_ref, scale_ref, bias_ref,
     out_ref = refs[n_parts]                         # (1, th, W, cout)
     prevs = refs[n_parts + 1:2 * n_parts + 1]       # (th+1, W, ci) carried
     acc_ref = refs[2 * n_parts + 1]                 # (th, W, cout) f32
+    # (a per-dx accumulator variant — shift once per output row instead of
+    # per tap-slot — measured SLOWER: the 3× accumulator zeroing/traffic
+    # cost more than the rolls it saved, and +1MB VMEM broke th=4 at ΣC=448)
 
     b = pl.program_id(0)
     i = pl.program_id(1)
+    W = prevs[0].shape[1]
 
     @pl.when(i > 0)
     def _compute():
@@ -100,43 +104,63 @@ def _kernel(gc_ref, wsse_ref, bsse_ref, wm_ref, scale_ref, bias_ref,
         wsse_row = wsse_ref[0].reshape(1, -1)       # (1, ΣC) f32
         bsse = bsse_ref[0, 0]
 
-        def do_row(j):
+        def part_row(p, j):
             # j indexes input rows (i-1)*th-1+j; j=0 top halo, j=th+1 bottom
             if j == 0:
-                rows = [prevs[p][th] for p in range(n_parts)]
-            elif j <= th:
-                rows = [prevs[p][j - 1] for p in range(n_parts)]
-            else:
-                rows = [parts_in[p][0, 0] for p in range(n_parts)]
-            xrow = rows[0] if n_parts == 1 else jnp.concatenate(rows, axis=1)
-            xf = xrow.astype(_F32)
+                return prevs[p][th]
+            if j <= th:
+                return prevs[p][j - 1]
+            return parts_in[p][0, 0]
+
+        def do_rows(js):
+            # PAIRED rows: one (len(js)·W, ΣC) assembly and one matmul per
+            # tap group — M=2W fills the MXU pipeline that M=W left idle
+            # and halves the per-row gate/concat fixed costs
+            cols = []
+            for p in range(n_parts):
+                rs = [part_row(p, j) for j in js]
+                cols.append(rs[0] if len(rs) == 1
+                            else jnp.concatenate(rs, axis=0))
+            xrow = cols[0] if n_parts == 1 else jnp.concatenate(cols, axis=1)
+            # image-border halo rows are zero (SAME padding): zero their
+            # VALUES so their fused-matmul contribution vanishes
+            M = xrow.shape[0]
+            if js[0] == 0 or js[-1] == th + 1:
+                r_iota = jax.lax.broadcasted_iota(jnp.int32, xrow.shape, 0)
+                if js[0] == 0:
+                    xrow = jnp.where(jnp.logical_or(i > 1, r_iota >= W),
+                                     xrow, 0)
+                if js[-1] == th + 1:
+                    xrow = jnp.where(jnp.logical_or(i < nchunks,
+                                                    r_iota < M - W), xrow, 0)
             if gated:
-                t = jnp.sum(xf * wsse_row, axis=1, keepdims=True)  # (W, 1)
-                gate = gc_row + jax.nn.sigmoid(t + bsse)           # (W, ΣC)
-                xg = (xf * gate).astype(xrow.dtype)
+                # f32 accumulation for the sSE logit; the gating multiply
+                # itself runs in the compute dtype (house numerics — matches
+                # SCSEAttention's p * (gate_c + gate_s) in p.dtype, and
+                # halves the per-row register pressure)
+                t = jnp.sum(xrow.astype(_F32) * wsse_row, axis=1,
+                            keepdims=True)                         # (M, 1)
+                gate = gc_row + jax.nn.sigmoid(t + bsse)           # (M, ΣC)
+                xg = xrow * gate.astype(xrow.dtype)
             else:
                 xg = xrow
             for m, taps in enumerate(groups):
-                used = [(idx, dy, dx) for idx, (dy, dx) in enumerate(taps)
+                used = [(r, idx, dy, dx)
+                        for r, j in enumerate(js)
+                        for idx, (dy, dx) in enumerate(taps)
                         if 0 <= j - dy < th]
                 if not used:
                     continue  # whole group outside the tile: skip the matmul
                 y = jnp.dot(xg, wm_ref[m], preferred_element_type=_F32)
-                for idx, dy, dx in used:
-                    blk = y[:, idx * cout:(idx + 1) * cout]
-                    acc_ref[j - dy] += _shift_cols(blk, dx - 1)
+                for r, idx, dy, dx in used:
+                    blk = y[r * W:(r + 1) * W, idx * cout:(idx + 1) * cout]
+                    acc_ref[js[r] - dy] += _shift_cols(blk, dx - 1)
 
-        # edge rows are zero (SAME padding): their contribution vanishes, so
-        # skip the whole iteration at the image borders instead of zeroing
-        @pl.when(i > 1)
-        def _():
-            do_row(0)
-        for j in range(1, th + 1):
-            do_row(j)
-
-        @pl.when(i < nchunks)
-        def _():
-            do_row(th + 1)
+        rows = list(range(th + 2))
+        for k in range(0, len(rows) - 1, 2):
+            do_rows(rows[k:k + 2])
+        if len(rows) % 2:
+            do_rows(rows[-1:])
 
         scale_row = scale_ref[0].reshape(1, -1)
         bias_row = bias_ref[0].reshape(1, -1)

@@ -278,3 +278,39 @@ def test_scse_unpack_h2_fused_exact():
     got = fused.apply(params, xp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas decode-node kernel route (ops/pallas_scse_conv.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cout", [12, 64])
+def test_decoder_block_pallas_exact(cout):
+    """pallas_tail skip nodes == the normal block (interpret mode on CPU)."""
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    skips = [jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32),
+             jnp.asarray(rng.randn(2, 16, 16, 10), jnp.float32)]
+    kw = dict(in_channels=24, skip_channels=16, out_channels=cout,
+              attention_type="scse", drop_block_prob=0.1, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, pallas_tail=True, **kw)
+    ys, yf = _init_apply(slow, fast, (x, skips))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_block_pallas_no_attention():
+    """pallas_tail with attention_type=None (plain conv1/conv2 node)."""
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 8, 8, 12), jnp.float32)
+    skips = [jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)]
+    kw = dict(in_channels=12, skip_channels=8, out_channels=16,
+              attention_type=None, drop_block_prob=0.1, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, pallas_tail=True, **kw)
+    ys, yf = _init_apply(slow, fast, (x, skips))
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=2e-4, atol=2e-4)

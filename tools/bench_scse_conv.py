@@ -77,7 +77,7 @@ def run_node(timed, name, parts_ch, cout, V=8, R=512):
           f"logical {flops / 123e12 * 1e3:.1f} ms @123TF/s")
     timed(f"{name} XLA gate+conv+bn+relu", xla_ref,
           *parts, gate_c, sse_k, sse_b, k3, scale, bias)
-    for th in (4, 8):
+    for th in (4,):
         try:
             fn = functools.partial(
                 lambda *a, th: scse_conv3x3_bn_relu(
@@ -93,7 +93,7 @@ def run_node(timed, name, parts_ch, cout, V=8, R=512):
         small = [p[:1, :64] for p in parts]
         a = scse_conv3x3_bn_relu(small, gate_c[:1], sse_k, sse_b, k3,
                                  scale, bias, relu=True, tile_rows=4)
-        b = xla_ref(small, gate_c[:1], sse_k, sse_b, k3, scale, bias)
+        b = xla_ref(*small, gate_c[:1], sse_k, sse_b, k3, scale, bias)
         err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                     - b.astype(jnp.float32))))
         print(f"{name} max|pallas-xla| (bf16) = {err:.4f}")
