@@ -37,3 +37,38 @@ def test_gan_training_runs(tmp_path):
     assert 0.0 <= result["best_ap"] <= 1.0
     assert (tmp_path / "gan" / "best_gan.ckpt").exists()
     assert (tmp_path / "gan" / "gan_metrics.jsonl").exists()
+
+
+def test_gan_step_sharded_equals_single_device():
+    """mesh={'data':2} G/D step == mesh={'data':1} (same seed, same batch) —
+    the sharded-training equality bar applied to the GAN trainer."""
+    import jax
+
+    cfg = {
+        "image_size": 16, "patch_size": 8, "d_weight": 0.01,
+        "generator": "classic_unet",
+        "generator_params": {"filters": (4, 8), "classes": 1},
+        "g_learning_rate": 1e-3, "d_learning_rate": 1e-3, "seg_loss": "bce",
+    }
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (4, 16, 16, 3)) * 255
+    masks = (jax.random.uniform(jax.random.fold_in(rng, 1), (4, 16, 16))
+             < 0.2).astype(jnp.float32)
+
+    outs = []
+    for mesh_shape in ({"data": 1}, {"data": 2}):
+        tr = GanTrainer({**cfg, "mesh_shape": mesh_shape})
+        state = tr.init(jax.random.PRNGKey(3))
+        g_params, g_bs, d_params, g_opt, d_opt = state
+        g_params, g_bs, d_params, g_opt, d_opt, m = tr._step(
+            g_params, g_bs, d_params, g_opt, d_opt, imgs, masks,
+            jax.random.PRNGKey(4))
+        outs.append((m, g_params))
+    (m1, p1), (m2, p2) = outs
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
