@@ -38,8 +38,12 @@ class DecoderBlock(nn.Module):
     packed_input: int = 1      # 4: x arrives s2d-packed (no-skip fast only)
     # pallas_tail: route the skip nodes of the fast tail through the fused
     # Pallas decode-node kernel (ops/pallas_scse_conv.py) instead of the
-    # H2/s2d packed-layout XLA forms
+    # H2/s2d packed-layout XLA forms (eval only — the kernel has no vjp)
     pallas_tail: bool = False
+    # fast_train: run the packed fast tail under TRAINING too (grad-safe:
+    # packed DropBlock/BatchNorm are exact vs the logical path, all packed
+    # ops are jnp/lax and differentiate in packed space)
+    fast_train: bool = False
     dtype: Dtype = jnp.float32
 
     def _pallas_call(self, x, skip, train):
@@ -78,8 +82,8 @@ class DecoderBlock(nn.Module):
         x_0_3→x_0_4 chain then never materializes a <128-lane map."""
         from ..ops.packed import depth_to_space, unpack_h2
 
-        assert not train and not self.use_catt
-        if (self.pallas_tail and skip is not None
+        assert not self.use_catt
+        if (self.pallas_tail and not train and skip is not None
                 and self.packed_input == 1 and not self.keep_packed):
             return self._pallas_call(x, skip, train)
         # H2 layout (pack along H only) where 2·cout fills the MXU lanes:
@@ -136,7 +140,7 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
-        if self.fast_tail and not train:
+        if self.fast_tail and (not train or self.fast_train):
             return self._fast_call(x, skip, train)
         dim = self.base_dim * (2 ** self.level)
         x_up = upsample2x(x)
@@ -248,6 +252,7 @@ class UnetPlusPlusDecoder(nn.Module):
     fast_min_res: int = 512
     packed_final: bool = False  # hand the final map to the head s2d-packed
     pallas_tail: bool = False   # fused Pallas kernel for the skip tail nodes
+    fast_train: bool = False    # packed fast tail under training (grad-safe)
     # per-node gradient rematerialization: each grid node's activations are
     # recomputed during backward (segment = one DecoderBlock), cutting the
     # training activation peak without the whole-graph remat's single giant
@@ -265,7 +270,8 @@ class UnetPlusPlusDecoder(nn.Module):
         depth = len(in_channels) - 1
 
         def node_fast(xin, skips, out_ch, use_catt):
-            if not self.fast_inference or train or use_catt or out_ch >= 128:
+            if (not self.fast_inference or (train and not self.fast_train)
+                    or use_catt or out_ch >= 128):
                 return False
             h, w = xin.shape[1], xin.shape[2]
             if 2 * h < self.fast_min_res or h < 3 or w < 3:
@@ -290,7 +296,7 @@ class UnetPlusPlusDecoder(nn.Module):
                 use_catt=use_catt, attention_type=self.attention_type,
                 drop_block_prob=self.drop_block_prob, fast_tail=fast,
                 keep_packed=keep_packed, pallas_tail=self.pallas_tail,
-                dtype=self.dtype,
+                fast_train=self.fast_train, dtype=self.dtype,
                 name=f"x_{depth_idx}_{layer_idx}",
             )
 
@@ -343,7 +349,8 @@ class UnetPlusPlusDecoder(nn.Module):
             attention_type=self.attention_type,
             drop_block_prob=self.drop_block_prob, fast_tail=fast,
             keep_packed=fast and self.packed_final,
-            packed_input=4 if prod_packed else 1, dtype=self.dtype,
+            packed_input=4 if prod_packed else 1,
+            fast_train=self.fast_train, dtype=self.dtype,
             name=f"x_0_{depth}",
         )(xin, None, train)
 

@@ -55,8 +55,6 @@ class BatchNorm(nn.Module):
             scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
             return scale, beta - ra_mean.value * scale
         use_running = (not train) or self.frozen
-        if self.packed > 1:
-            assert use_running, "packed BatchNorm is an eval-only rewrite"
         if use_running:
             scale = gamma * jax.lax.rsqrt(ra_var.value + self.epsilon)
             bias = beta - ra_mean.value * scale
@@ -66,13 +64,22 @@ class BatchNorm(nn.Module):
             y = x * scale.astype(x.dtype) + bias.astype(x.dtype)
             return y.astype(self.dtype)
         xf = x.astype(jnp.float32)
-        axes = tuple(range(x.ndim - 1))
+        if self.packed > 1:
+            # packed train mode (the grad-safe packed tail): batch statistics
+            # per LOGICAL channel — phases are just spatial positions, so the
+            # reduce covers the same elements as the logical path (equal up
+            # to reassociation)
+            n, h, w, cf = xf.shape
+            xf = xf.reshape(n, h, w, self.packed, c)
+        axes = tuple(range(xf.ndim - 1))
         mean = jnp.mean(xf, axis=axes)
         var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
         if not self.is_initializing():
             ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * gamma + beta
+        if self.packed > 1:
+            y = y.reshape(x.shape)
         return y.astype(self.dtype)
 
 
@@ -83,22 +90,48 @@ class DropBlock2d(nn.Module):
 
     drop_prob: float = 0.1
     block_size: int = 7
+    # packed: the input lives in a packed layout (2 = H2 phase-major along
+    # H, 4 = space-to-depth); the mask is generated at the LOGICAL
+    # resolution with the same rng stream and then packed, so the kept
+    # elements are bit-identical to the logical path's (the grad-safe
+    # packed train tail)
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if not train or self.drop_prob <= 0.0:
             return x
-        h, w = x.shape[1], x.shape[2]
+        pf = self.packed
+        n = x.shape[0]
+        if pf == 1:
+            h, w = x.shape[1], x.shape[2]
+        elif pf == 2:
+            h, w = 2 * x.shape[1], x.shape[2]
+        else:
+            assert pf in (4, 16)
+            k = pf.bit_length() // 2  # 4 -> 1× s2d, 16 -> 2×
+            h, w = x.shape[1] << k, x.shape[2] << k
         bs = min(self.block_size, h, w)
         total = h * w
         valid = (h - bs + 1) * (w - bs + 1)
         gamma = self.drop_prob * total / (bs ** 2) / max(valid, 1)
         key = self.make_rng("dropout")
-        noise = jax.random.bernoulli(key, gamma, (x.shape[0], h, w, 1)).astype(x.dtype)
+        noise = jax.random.bernoulli(key, gamma, (n, h, w, 1)).astype(x.dtype)
         # expand block centers to block_size x block_size via max-pool
         block_mask = nn.max_pool(noise, (bs, bs), strides=(1, 1), padding="SAME")
         keep = 1.0 - block_mask
         norm = keep.size / jnp.maximum(jnp.sum(keep), 1.0)
+        if pf > 1:
+            from ...ops import packed as PK
+            if pf == 2:
+                kp = PK.pack_h2(keep)
+            else:
+                kp = keep
+                for _ in range(pf.bit_length() // 2):
+                    kp = PK.space_to_depth(kp)
+            c = x.shape[-1] // pf
+            kp = jnp.broadcast_to(kp[..., None], kp.shape + (c,))
+            keep = kp.reshape(x.shape[:-1] + (pf * c,))
         return x * keep * norm.astype(x.dtype)
 
 
@@ -288,14 +321,12 @@ class ConvBNReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x, scales=scales)
-        if self.mode == "normal":
-            x = DropBlock2d(self.drop_block_prob, block_size=7)(x, train)
-        else:
-            assert not train, "packed ConvBNReLU is an eval-only rewrite"
+        pf = 1 if self.mode == "normal" else self.packed_factor
+        # the packed DropBlock draws the identical logical mask from the
+        # same rng stream, so train mode is exact vs the normal path
+        x = DropBlock2d(self.drop_block_prob, block_size=7, packed=pf)(x, train)
         if self.use_batchnorm:
-            x = BatchNorm(dtype=self.dtype,
-                          packed=1 if self.mode == "normal"
-                          else self.packed_factor)(x, train)
+            x = BatchNorm(dtype=self.dtype, packed=pf)(x, train)
         return nn.relu(x)
 
 

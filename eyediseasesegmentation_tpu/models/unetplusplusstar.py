@@ -45,6 +45,9 @@ class UnetPlusPlusStar(nn.Module):
     # custom call blocks the cross-node gate-reduce fusions the XLA path
     # gets for free (PERFORMANCE.md round-3).
     pallas_tail: Optional[bool] = None
+    # packed fast tail under TRAINING (grad-safe packed DropBlock/BN; the
+    # backward convs inherit the packed layouts' full-lane MXU utilization)
+    fast_train: bool = False
     # per-block gradient rematerialization under train: one remat segment per
     # encoder block / decoder grid node — the activation peak drops to about
     # one segment's working set (whole-model jax.checkpoint recomputes in a
@@ -81,6 +84,7 @@ class UnetPlusPlusStar(nn.Module):
             fast_inference=fast,
             fast_min_res=self.fast_min_res,
             pallas_tail=pallas_tail,
+            fast_train=self.fast_train and fast,
             packed_final=True,
             remat=self.remat,
             dtype=self.dtype,

@@ -314,3 +314,158 @@ def test_decoder_block_pallas_no_attention():
     ys, yf = _init_apply(slow, fast, (x, skips))
     np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Grad-safe packed TRAIN path (fast_train)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pf", [2, 4, 16])
+def test_dropblock_packed_exact(pf):
+    """Packed DropBlock == logical DropBlock (same rng stream)."""
+    from eyediseasesegmentation_tpu.models.modules.layers import DropBlock2d
+    from eyediseasesegmentation_tpu.ops import packed as P2
+    rng = np.random.RandomState(20)
+    x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+    key = {"dropout": jax.random.PRNGKey(5)}
+    ref = DropBlock2d(0.3, block_size=5).apply({}, x, True, rngs=key)
+    if pf == 2:
+        xp = P2.pack_h2(x)
+    else:
+        xp = x
+        for _ in range(pf.bit_length() // 2):
+            xp = P2.space_to_depth(xp)
+    yp = DropBlock2d(0.3, block_size=5, packed=pf).apply({}, xp, True,
+                                                         rngs=key)
+    if pf == 2:
+        got = P2.unpack_h2(yp)
+    else:
+        got = yp
+        for _ in range(pf.bit_length() // 2):
+            got = P2.depth_to_space(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_batchnorm_packed_train_exact():
+    """Packed train-mode BN: output AND updated running stats == logical."""
+    from eyediseasesegmentation_tpu.models.modules.layers import BatchNorm
+    from eyediseasesegmentation_tpu.ops import packed as P2
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(2, 8, 8, 5) * 3 + 1, jnp.float32)
+    bn = BatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), x, train=True)
+    ref, upd = bn.apply(v, x, True, mutable=["batch_stats"])
+    bn_p = BatchNorm(packed=4)
+    got, upd_p = bn_p.apply(v, P2.space_to_depth(x), True,
+                            mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(P2.depth_to_space(got)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(upd_p["batch_stats"][k]),
+            np.asarray(upd["batch_stats"][k]), rtol=1e-5, atol=1e-6)
+
+
+def _train_loss(blk, v, x, skips, key):
+    def loss(params):
+        out, _ = blk.apply({**v, "params": params}, x, skips, train=True,
+                           rngs={"dropout": key}, mutable=["batch_stats"])
+        return jnp.sum(out * out)
+    return loss
+
+
+@pytest.mark.parametrize("cout", [12, 64])
+def test_decoder_block_fast_train_outputs_and_grads(cout):
+    """fast_train packed node == normal node under TRAIN: outputs, grads,
+    and batch-stats updates (same dropout rng)."""
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    skips = [jnp.asarray(rng.randn(2, 16, 16, 6), jnp.float32),
+             jnp.asarray(rng.randn(2, 16, 16, 10), jnp.float32)]
+    kw = dict(in_channels=24, skip_channels=16, out_channels=cout,
+              attention_type="scse", drop_block_prob=0.2, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, fast_train=True, **kw)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    v = slow.init(rngs, x, skips, train=True)
+    v = dict(v)
+    key = jax.random.PRNGKey(9)
+    params = v.pop("params")
+    ls = _train_loss(slow, v, x, skips, key)
+    lf = _train_loss(fast, v, x, skips, key)
+    np.testing.assert_allclose(float(ls(params)), float(lf(params)),
+                               rtol=1e-4)
+    gs = jax.grad(ls)(params)
+    gf = jax.grad(lf)(params)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gs),
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gf),
+                   key=lambda t: str(t[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=str(ka))
+
+
+def test_decoder_block_fast_train_packed_input():
+    """The keep_packed -> packed_input=4 chain under TRAIN (x_0_3 -> x_0_4)."""
+    from eyediseasesegmentation_tpu.models.decoders import DecoderBlock
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(2, 8, 8, 24), jnp.float32)
+    kw = dict(in_channels=24, skip_channels=0, out_channels=12,
+              attention_type="scse", drop_block_prob=0.2, dtype=jnp.float32)
+    slow = DecoderBlock(**kw)
+    fast = DecoderBlock(fast_tail=True, fast_train=True, packed_input=4, **kw)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    v = dict(slow.init(rngs, x, None, train=True))
+    key = jax.random.PRNGKey(9)
+    params = v.pop("params")
+    ls = _train_loss(slow, v, x, None, key)
+    lf = _train_loss(fast, v, space_to_depth(x), None, key)
+    np.testing.assert_allclose(float(ls(params)), float(lf(params)),
+                               rtol=1e-4)
+    gs, gf = jax.grad(ls)(params), jax.grad(lf)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_flagship_fast_train_equals_normal():
+    """Whole flagship under TRAIN: fast_train packed tail == normal path
+    (loss + grad norm) at a small size with fast_min_res lowered."""
+    from eyediseasesegmentation_tpu import models as zoo
+    rng = np.random.RandomState(24)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)
+
+    def build(fast_train):
+        return zoo.get_model(
+            "unetplusplusstar",
+            {"encoder_name": "BoTSER50_Axial_Imagenet_3",
+             "decoder_attention_type": "scse", "base_dim": 2, "classes": 1,
+             "fast_inference": fast_train, "fast_train": fast_train,
+             "fast_min_res": 16},
+            training=True, dtype=jnp.float32)
+
+    slow, fast = build(False), build(True)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    v = dict(slow.init(rngs, x, train=True))
+    params = v.pop("params")
+    key = jax.random.PRNGKey(9)
+
+    def loss(model, p):
+        out, _ = model.apply({**v, "params": p}, x, train=True,
+                             rngs={"dropout": key},
+                             mutable=["batch_stats"])
+        final = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(final * final)
+
+    ls, gs = jax.value_and_grad(lambda p: loss(slow, p))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(fast, p))(params)
+    np.testing.assert_allclose(float(lf), float(ls), rtol=1e-4)
+    ns = sum(float(jnp.sum(g * g)) for g in jax.tree_util.tree_leaves(gs))
+    nf = sum(float(jnp.sum(g * g)) for g in jax.tree_util.tree_leaves(gf))
+    np.testing.assert_allclose(nf, ns, rtol=1e-3)
