@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="gradient rematerialization (halves activation HBM)")
+    ap.add_argument("--fast", action="store_true",
+                    help="grad-safe packed fast tail (fast_train)")
     args = ap.parse_args()
 
     from eyediseasesegmentation_tpu.train.trainer import Trainer
@@ -39,6 +41,8 @@ def main():
             "decoder_attention_type": "scse",
             "base_dim": size // 32,
             "classes": 1,
+            **({"fast_inference": True, "fast_train": True}
+               if args.fast else {}),
         },
         "criterion": {"bce": 0.8, "log_dice": 0.2},
         "pos_weights": [500.0],
