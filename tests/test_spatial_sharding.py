@@ -154,3 +154,55 @@ def test_spatial_flagship_matches_unsharded(mesh):
     assert got.shape == ref.shape == (2, S, S, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_flagship_grads_match_unsharded(mesh):
+    """Context-parallel TRAINING capability: parameter gradients through the
+    H-sharded flagship forward (halo-exchange ppermute transposes, psum'd
+    gates) equal the unsharded path's gradients."""
+    from functools import partial
+
+    from eyediseasesegmentation_tpu import models as zoo
+    from eyediseasesegmentation_tpu.parallel.spatial_model import (
+        spatial_flagship_predict)
+
+    S, base_dim = 64, 2
+    model = zoo.get_model(
+        "unetplusplusstar",
+        {"encoder_name": "BoTSER50_Axial_Imagenet_3",
+         "decoder_attention_type": "scse", "base_dim": base_dim,
+         "classes": 1, "fast_inference": False},
+        training=False, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, 3), jnp.float32)
+    tgt = (jax.random.uniform(jax.random.PRNGKey(2), (1, S, S, 1))
+           < 0.2).astype(jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, x)
+    v = dict(variables)
+    params = v.pop("params")
+
+    def loss_ref(p):
+        out = model.apply({**v, "params": p}, x, train=False)
+        return jnp.mean((jax.nn.sigmoid(out) - tgt) ** 2)
+
+    def loss_cp(p):
+        out = spatial_flagship_predict({**v, "params": p}, x, mesh,
+                                       base_dim=base_dim)
+        return jnp.mean((jax.nn.sigmoid(out) - tgt) ** 2)
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lc, gc = jax.value_and_grad(loss_cp)(params)
+    np.testing.assert_allclose(float(lc), float(lr), rtol=1e-5)
+    leaves_r = jax.tree_util.tree_leaves_with_path(gr)
+    leaves_c = {str(k): g for k, g in
+                jax.tree_util.tree_leaves_with_path(gc)}
+    checked = 0
+    for k, a in leaves_r:
+        b = leaves_c[str(k)]
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-8)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4 * scale,
+                                   err_msg=str(k))
+        checked += 1
+    assert checked == len(leaves_r)
