@@ -7,16 +7,31 @@ batched bf16 forward, inverse views + mean, un-pad crop, resize back to full
 resolution. Baseline target: >= 5 images/sec/chip (TPU v5e).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Tunnel resilience: the axon TPU tunnel occasionally drops for minutes at a
+time ("Unable to initialize backend 'axon'", or a hang inside backend init).
+A transient outage must not erase the round's number, so the measurement runs
+in a timed child subprocess and the parent retries with backoff for up to
+~45 minutes before giving up.  Run with ``--_child`` to execute the
+measurement directly (what the parent spawns).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# Retry schedule for the parent wrapper: per-attempt wall clock cap and the
+# sleeps between attempts.  Total worst-case budget ~= 5*900 + sum(sleeps)
+# ~= 92 min; typical healthy run completes attempt 1 in ~6 min.
+ATTEMPT_TIMEOUT_S = 900
+BACKOFF_S = (60, 120, 240, 300)
 
-def main():
+
+def run_measurement():
     import jax
     import jax.numpy as jnp
 
@@ -84,6 +99,56 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / baseline, 4),
     }))
+
+
+def _attempt():
+    """One measurement attempt in a timed child process.
+
+    Returns the JSON result line (str) on success, else None.  The child is
+    a separate interpreter so a backend-init hang or a cached backend failure
+    inside jax can't poison later attempts, and the timeout bounds the
+    startup-hang failure mode (the axon sitecustomize can block interpreter
+    startup while the tunnel is down).
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child"],
+            capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench attempt timed out after {ATTEMPT_TIMEOUT_S}s "
+              "(tunnel hang?)", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            return line
+    tail = (proc.stderr or "").strip().splitlines()[-8:]
+    print(f"bench attempt failed rc={proc.returncode}:", file=sys.stderr)
+    for ln in tail:
+        print("  " + ln, file=sys.stderr)
+    return None
+
+
+def main():
+    if "--_child" in sys.argv:
+        return run_measurement()
+
+    for i, backoff in enumerate(BACKOFF_S + (None,)):
+        result = _attempt()
+        if result is not None:
+            print(result)
+            return 0
+        if backoff is None:
+            break
+        print(f"retrying in {backoff}s (attempt {i + 2}/{len(BACKOFF_S) + 1}) "
+              "— transient axon-tunnel outages usually recover in minutes",
+              file=sys.stderr)
+        time.sleep(backoff)
+    print("bench: all attempts failed (tunnel down for the full retry "
+          "budget)", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":

@@ -147,6 +147,20 @@ class Trainer:
         self.mesh = make_mesh(mesh_shape)
         self.metric_name = cfg.get("metric", "dice")
         self.metric_mode = cfg.get("mode", "max")
+        # finetune semantics (reference train.py:230-240): ``finetune`` freezes
+        # every encoder weight (requires_grad=False analogue: the optimizer
+        # update for the "encoder" scope is zeroed, so params AND their
+        # adam/momentum statistics never move); a pretrained encoder
+        # (``encoder_weights``) additionally freezes the encoder's BN running
+        # statistics (the reference's m.eval() loop).  The flagship goes
+        # further: its ``pretrained`` encoders normalize with the frozen
+        # running stats during training too (encoders.py frozen_bn).
+        self.finetune = bool(cfg.get("finetune", False))
+        self.freeze_bn_scopes = tuple(
+            cfg.get("freeze_bn_scopes",
+                    ("encoder",) if (self.finetune or cfg.get("encoder_weights"))
+                    else ()))
+        self.frozen_param_scopes = ("encoder",) if self.finetune else ()
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -204,6 +218,31 @@ class Trainer:
             probs = jax.nn.sigmoid(final.astype(jnp.float32))
             return total, (updates["batch_stats"], parts, probs, m4)
 
+        frozen_param_scopes = self.frozen_param_scopes
+        freeze_bn_scopes = self.freeze_bn_scopes
+
+        def _with_replaced(tree, key, val):
+            # preserve the container type: dict vs FrozenDict changes the
+            # pytree treedef, and optax.apply_updates tree_maps params+updates
+            if isinstance(tree, FrozenDict):
+                return tree.copy({key: val})
+            out = dict(tree)
+            out[key] = val
+            return out
+
+        def _zero_scopes(tree, scopes):
+            for s in scopes:
+                if s in tree:
+                    tree = _with_replaced(
+                        tree, s, jax.tree_util.tree_map(jnp.zeros_like, tree[s]))
+            return tree
+
+        def _restore_scopes(new, old, scopes):
+            for s in scopes:
+                if s in old and s in new:
+                    new = _with_replaced(new, s, old[s])
+            return new
+
         def train_step(state: TrainState, images, masks, rng, lr):
             aug_key, drop_key = jax.random.split(jax.random.fold_in(rng, state.step))
             images, masks = transform.batch_train(aug_key, images, masks)
@@ -215,6 +254,11 @@ class Trainer:
             opt_state = state.opt_state
             opt_state.hyperparams["learning_rate"] = lr
             updates, new_opt = self.tx.update(grads, opt_state, state.params)
+            if frozen_param_scopes:
+                updates = _zero_scopes(updates, frozen_param_scopes)
+            if freeze_bn_scopes:
+                new_bs = _restore_scopes(new_bs, state.batch_stats,
+                                         freeze_bn_scopes)
             new_params = optax.apply_updates(state.params, updates)
             metrics = {"loss": loss,
                        "dice": M.dice_coeff(probs, m4),

@@ -263,3 +263,62 @@ def test_remat_train_step_identical(tmp_path):
                                   jnp.asarray(1e-3, jnp.float32))
         losses.append(float(m["loss"]))
     np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
+
+
+def test_finetune_freezes_encoder(tmp_path):
+    """finetune=True (reference train.py:230-240): encoder params AND encoder
+    BN statistics must not move over train steps, while the decoder learns."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from eyediseasesegmentation_tpu.train.trainer import Trainer
+
+    base = {
+        "dataset_name": "IDRiD", "lesion_type": "EX",
+        "augmentation": "normal", "scale_size": 32, "batch_size": 2,
+        "learning_rate": 1e-2, "weight_decay": 1e-2, "is_fp16": False,
+        "model_name": "resnet18_unet32",
+        "model_params": {"decoder_channels": [16, 8, 8, 8, 8], "classes": 1},
+        "criterion": {"bce": 1.0}, "pos_weights": [5.0],
+        "optimizer": "adamw", "mesh_shape": {"data": 1},
+        "finetune": True,
+    }
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3) * 255, jnp.float32)
+    masks = jnp.asarray((rng.rand(2, 32, 32) < 0.3), jnp.float32)
+
+    tr = Trainer(base, seed=1999)
+    state0 = tr.init_state(jax.random.PRNGKey(0), sample_shape=(2, 32, 32, 3))
+    # host copies: the train step donates its input state, deleting buffers
+    snap = jax.tree_util.tree_map(lambda x: np.array(x, copy=True),
+                                  {"enc": dict(state0.params)["encoder"],
+                                   "bs": dict(state0.batch_stats)["encoder"],
+                                   "dec": dict(state0.params)["decoder"]})
+    enc0, bs0, dec0 = snap["enc"], snap["bs"], snap["dec"]
+
+    state = state0
+    for i in (1, 2):
+        state, _ = tr._train_step(state, images, masks, jax.random.PRNGKey(i),
+                                  jnp.asarray(1e-2, jnp.float32))
+
+    enc1 = jax.tree_util.tree_map(np.asarray, dict(state.params)["encoder"])
+    bs1 = jax.tree_util.tree_map(np.asarray, dict(state.batch_stats)["encoder"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal, enc0, enc1)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, bs0, bs1)
+
+    # decoder must actually learn (weight decay alone would also change it,
+    # but gradients flow: at least one decoder kernel moves)
+    dec1 = jax.tree_util.tree_map(np.asarray, dict(state.params)["decoder"])
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))), dec0, dec1)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0, "decoder did not move"
+
+    # control: without finetune the encoder does move
+    tr2 = Trainer({**base, "finetune": False}, seed=1999)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), sample_shape=(2, 32, 32, 3))
+    s2, _ = tr2._train_step(s2, images, masks, jax.random.PRNGKey(1),
+                            jnp.asarray(1e-2, jnp.float32))
+    enc2 = jax.tree_util.tree_map(np.asarray, dict(s2.params)["encoder"])
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))), enc0, enc2)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0, "control encoder frozen?"
