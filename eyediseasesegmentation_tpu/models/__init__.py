@@ -157,16 +157,15 @@ def get_model(model_name: str, params: Optional[Dict[str, Any]] = None,
             f"Cannot find {model_name}, available options are {list_models()}")
     params = dict(params or {})
     if not training:
-        if params.get("clfhead") is not None:
-            params["clfhead"] = False
-        if params.get("clf_head") is not None:
-            params["clf_head"] = False
-        if params.get("pretrained") is not None:
-            params["pretrained"] = False
-        if params.get("encoder_weights") is not None:
-            params["encoder_weights"] = None
-        if params.get("deep_supervision") is not None:
-            params["deep_supervision"] = False
+        # Demote unconditionally: the reference's configs always carry these
+        # keys (clfhead/deep_supervision are required ctor args there), so its
+        # key-presence check amounts to "always off at inference" — including
+        # for registry entries that bake them on (Unet3Plus_DS, hubmap_kaggle).
+        params.pop("clfhead", None)
+        params["clf_head"] = False
+        params["pretrained"] = False
+        params["encoder_weights"] = None
+        params["deep_supervision"] = False
     params["dtype"] = dtype
     return model_fn(**params)
 
