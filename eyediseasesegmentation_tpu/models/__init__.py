@@ -139,6 +139,12 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # --- transformer-star (segformerstar.py, swinformerstar.py) ---
     "SegFormerStar": _factory(SegformerStar),
     "SwinformerStar": _factory(SwinformerStar),
+    # --- smp class-name reflection surface (reference train.py:167-179:
+    # any `smp.<ClassName>` resolves by name with model_params; the families
+    # implemented here are reachable the same way) ---
+    "UnetPlusPlus": _factory(UnetPlusPlus),
+    "FPN": _factory(FPN),
+    "DeepLabV3Plus": _factory(DeepLabV3Plus),
 }
 
 

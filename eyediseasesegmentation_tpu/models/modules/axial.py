@@ -285,8 +285,13 @@ class AxialAttentionBlock(nn.Module):
 
         shortcut = x_in
         if self.down_sample:
+            # explicit symmetric pad: torch Conv2d(k=3, s=2, padding=1)
+            # samples even-size inputs starting at offset -1; stride-2 "SAME"
+            # pads (0,1) and starts at 0 — a different alignment
+            # (caught by tests/test_flagship_torch_oracle.py)
             shortcut = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                               padding="SAME", use_bias=True, dtype=self.dtype,
+                               padding=[(1, 1), (1, 1)], use_bias=True,
+                               dtype=self.dtype,
                                param_dtype=jnp.float32, name="shortcut_conv")(x_in)
             shortcut = BatchNorm(dtype=self.dtype, name="shortcut_bn")(shortcut, train)
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
