@@ -32,6 +32,7 @@ from .transformers import (SegformerStar, SwinformerStar, TransUnet,
 from .misc import (DcUnet, DoubleUnet, HEDUNet, HRNet, MedT,
                    ResAxialAttentionUNet, ResUnetPlusPlus, UneXt50,
                    UnetSEResNext101)
+from .smp_extra import DeepLabV3, Linknet, MAnet, PAN, PSPNet
 
 __all__ = ["MODEL_REGISTRY", "list_models", "get_model", "get_preprocessing_fn"]
 
@@ -140,11 +141,15 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "SegFormerStar": _factory(SegformerStar),
     "SwinformerStar": _factory(SwinformerStar),
     # --- smp class-name reflection surface (reference train.py:167-179:
-    # any `smp.<ClassName>` resolves by name with model_params; the families
-    # implemented here are reachable the same way) ---
+    # any `smp.<ClassName>` resolves by name with model_params) ---
     "UnetPlusPlus": _factory(UnetPlusPlus),
     "FPN": _factory(FPN),
     "DeepLabV3Plus": _factory(DeepLabV3Plus),
+    "Linknet": _factory(Linknet),
+    "PSPNet": _factory(PSPNet),
+    "DeepLabV3": _factory(DeepLabV3),
+    "PAN": _factory(PAN),
+    "MAnet": _factory(MAnet),
 }
 
 
