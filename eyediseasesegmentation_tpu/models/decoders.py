@@ -36,10 +36,15 @@ class DecoderBlock(nn.Module):
     fast_tail: bool = False    # eval-only s2d-packed rewrite (ops/packed.py)
     keep_packed: bool = False  # fast path: skip the final depth_to_space
     packed_input: int = 1      # 4: x arrives s2d-packed (no-skip fast only)
-    # pallas_tail: route the skip nodes of the fast tail through the fused
-    # Pallas decode-node kernel (ops/pallas_scse_conv.py) instead of the
-    # H2/s2d packed-layout XLA forms (eval only — the kernel has no vjp)
-    pallas_tail: bool = False
+    # pallas_tail: route the skip nodes of the fast tail through a fused
+    # Pallas decode-node kernel instead of the H2/s2d packed-layout XLA
+    # forms (eval only — the kernels have no vjp). True/"v1": the
+    # single-conv kernel (ops/pallas_scse_conv.py, conv1 stage fused,
+    # conv2 stays an XLA s2d rewrite). "pair": the two-conv kernel
+    # (ops/pallas_decode_pair.py) — conv1+conv2 in one HBM pass plus the
+    # channel-sum gate-reduce epilogue attention2 consumes, so the custom
+    # call no longer costs the consumer's fused mean-reduce.
+    pallas_tail: Any = False
     # fast_train: run the packed fast tail under TRAINING too (grad-safe:
     # packed DropBlock/BatchNorm are exact vs the logical path, all packed
     # ops are jnp/lax and differentiate in packed space)
@@ -71,6 +76,42 @@ class DecoderBlock(nn.Module):
                       name="attention2")(y)
         return depth_to_space(y)
 
+    def _pallas_pair_call(self, x, skip, train):
+        """attention1+conv1+BN+ReLU+conv2+BN+ReLU as ONE fused Pallas pass
+        that also emits attention2's pooled channel sums (the gate-reduce
+        epilogue); attention2's gating multiply stays a plain-NHWC XLA op so
+        consumer reductions fuse into it. Same params/module names as the
+        normal path."""
+        import jax as _jax
+
+        from ..ops.pallas_decode_pair import scse_conv3x3_pair
+
+        skips = list(skip) if isinstance(skip, (list, tuple)) else [skip]
+        gate_c, sse_k, sse_b = Attention(
+            self.attention_type, raw_gates=True, up_part0=True,
+            dtype=self.dtype, name="attention1")([x] + skips)
+        parts = [upsample2x(x)] + skips
+        k1, s1, b1 = ConvBNReLU(self.out_channels, 3,
+                                drop_block_prob=self.drop_block_prob,
+                                mode="pallas_params", dtype=self.dtype,
+                                name="conv1")(parts, train)
+        k2, s2, b2 = ConvBNReLU(
+            self.out_channels, 3, drop_block_prob=self.drop_block_prob,
+            mode="pallas_params", dtype=self.dtype, name="conv2")(
+                [jax.ShapeDtypeStruct((1, 1, 1, self.out_channels),
+                                      self.dtype)], train)
+        gated = gate_c is not None
+        if not gated:
+            C = sum(p.shape[-1] for p in parts)
+            gate_c = jnp.zeros((parts[0].shape[0], C), jnp.float32)
+            sse_k, sse_b = jnp.zeros((C,), jnp.float32), jnp.float32(0.0)
+        y2, csum = scse_conv3x3_pair(
+            parts, gate_c, sse_k, sse_b, k1, s1, b1, k2, s2, b2,
+            gated=gated, interpret=_jax.default_backend() != "tpu")
+        hw = y2.shape[1] * y2.shape[2]
+        return Attention(self.attention_type, dtype=self.dtype,
+                         name="attention2")(y2, mean_override=csum / hw)
+
     def _fast_call(self, x, skip, train):
         """Same math as the normal path, emitted in s2d-packed layout: the
         tail nodes (cout < 128 at ≥512²) run at 3-25 TF/s in plain NHWC on
@@ -85,6 +126,8 @@ class DecoderBlock(nn.Module):
         assert not self.use_catt
         if (self.pallas_tail and not train and skip is not None
                 and self.packed_input == 1 and not self.keep_packed):
+            if self.pallas_tail == "pair":
+                return self._pallas_pair_call(x, skip, train)
             return self._pallas_call(x, skip, train)
         # H2 layout (pack along H only) where 2·cout fills the MXU lanes:
         # 4/3-inflation conv1 + 2×-inflation conv2 measured faster than the
@@ -251,7 +294,7 @@ class UnetPlusPlusDecoder(nn.Module):
     fast_inference: bool = False
     fast_min_res: int = 512
     packed_final: bool = False  # hand the final map to the head s2d-packed
-    pallas_tail: bool = False   # fused Pallas kernel for the skip tail nodes
+    pallas_tail: Any = False    # fused Pallas kernel(s): True/"v1" or "pair"
     fast_train: bool = False    # packed fast tail under training (grad-safe)
     # per-node gradient rematerialization: each grid node's activations are
     # recomputed during backward (segment = one DecoderBlock), cutting the

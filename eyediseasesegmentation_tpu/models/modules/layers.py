@@ -281,6 +281,22 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, scales=None, gate=None):
+        if self.mode == "pallas_params":
+            # declare the identical params (same scopes as the normal path)
+            # and hand them to a fused consumer — the two-conv decode-node
+            # kernel (ops/pallas_decode_pair.py) consumes conv1's AND conv2's
+            # params in one pallas_call
+            parts = list(x) if isinstance(x, (list, tuple)) else [x]
+            kernel, conv_bias = Conv2d(
+                self.features, kernel_size=self.kernel_size,
+                strides=self.strides, use_bias=not self.use_batchnorm,
+                dtype=self.dtype, name="conv")(parts, params_only=True)
+            if self.use_batchnorm:
+                scale, bias = BatchNorm(dtype=self.dtype)(
+                    self.features, fold_only=True)
+            else:
+                scale, bias = None, conv_bias
+            return kernel, scale, bias
         if self.mode == "pallas":
             # whole stage (optional scSE input gate -> conv3x3 over the
             # virtual concat -> folded BN -> ReLU) as ONE Pallas kernel /
@@ -382,15 +398,23 @@ class SCSEAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mean_override=None):
         if self.packed > 1:
+            assert mean_override is None
             return self._packed_call(x)
         parts = list(x) if isinstance(x, (list, tuple)) else None
         xs = parts if parts is not None else [x]
         c = sum(p.shape[-1] for p in xs)
-        # channel SE gate from pooled means (pooling commutes with concat)
-        s = jnp.concatenate([jnp.mean(p, axis=(1, 2), keepdims=True) for p in xs],
-                            axis=-1)
+        # channel SE gate from pooled means (pooling commutes with concat).
+        # mean_override: (N, C) f32 pooled means already produced by a fused
+        # producer's gate-reduce epilogue (ops/pallas_decode_pair.py) — the
+        # big map is then never re-read here.
+        if mean_override is not None:
+            s = mean_override[:, None, None, :].astype(xs[0].dtype)
+        else:
+            s = jnp.concatenate(
+                [jnp.mean(p, axis=(1, 2), keepdims=True) for p in xs],
+                axis=-1)
         s = nn.Conv(max(c // self.reduction, 1), (1, 1), dtype=self.dtype,
                     param_dtype=jnp.float32)(s)
         s = nn.relu(s)
@@ -474,7 +498,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mean_override=None):
         if self.attention_type is None:
             if self.raw_gates:
                 return (None, None, None)
@@ -484,7 +508,8 @@ class Attention(nn.Module):
                                  unpack_h2=self.unpack_h2,
                                  return_gates=self.return_gates,
                                  raw_gates=self.raw_gates,
-                                 up_part0=self.up_part0, dtype=self.dtype)(x)
+                                 up_part0=self.up_part0, dtype=self.dtype)(
+                                     x, mean_override=mean_override)
         raise ValueError(f"Unknown attention type {self.attention_type}")
 
 

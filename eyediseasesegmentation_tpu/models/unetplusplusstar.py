@@ -44,7 +44,7 @@ class UnetPlusPlusStar(nn.Module):
     # 29.9 ms) but loses in-graph (207 vs 194 ms full forward) because the
     # custom call blocks the cross-node gate-reduce fusions the XLA path
     # gets for free (PERFORMANCE.md round-3).
-    pallas_tail: Optional[bool] = None
+    pallas_tail: Any = None
     # packed fast tail under TRAINING (grad-safe packed DropBlock/BN; the
     # backward convs inherit the packed layouts' full-lane MXU utilization)
     fast_train: bool = False

@@ -1,6 +1,7 @@
 #!/bin/bash
 # Tunnel watcher: probe the axon TPU tunnel every 5 min; when it comes back,
-# run the queued round-4 measurements once and exit.  Logs to /tmp/tpu_watch.log.
+# run the queued round-4 measurements (tools/tpu_queue.sh — editable while
+# this waits) once and exit.  Logs to /tmp/tpu_watch.log.
 # (Round-3 lesson: outages last hours; queue measurements, don't poll by hand.)
 cd /root/repo || exit 1
 LOG=/tmp/tpu_watch.log
@@ -9,12 +10,7 @@ while true; do
   if timeout 150 python -c "import jax; d=jax.devices(); print(d); assert d" \
       > /tmp/tpu_probe.log 2>&1; then
     echo "$(date) tunnel LIVE: $(cat /tmp/tpu_probe.log)" >> "$LOG"
-    echo "=== bench_train plain ===" >> "$LOG"
-    timeout 1500 python tools/bench_train.py --steps 6 >> "$LOG" 2>&1
-    echo "=== bench_train fast ===" >> "$LOG"
-    timeout 1500 python tools/bench_train.py --steps 6 --fast >> "$LOG" 2>&1
-    echo "=== bench.py ===" >> "$LOG"
-    timeout 2400 python bench.py >> "$LOG" 2>&1
+    bash tools/tpu_queue.sh "$LOG"
     echo "$(date) measurements done" >> "$LOG"
     break
   fi
