@@ -22,4 +22,19 @@ TMO=2400 run python tools/bench_pair.py
 # 3. headline bench (has its own retry wrapper; one attempt here is fine)
 TMO=2400 run python bench.py
 
+# 4. fast_min_res sweep on the 8-view forward (round-3 pending probe)
+TMO=2400 run python tools/bench_minres.py
+
+# 5. decoder roofline, round 2 (VERDICT item 8): per-node ms on the fast path
+TMO=2400 run python tools/profile_flagship.py --fast
+
+# 5b. TTA pre/post stages (everything outside the forward) — candidate ms
+TMO=1200 run python tools/bench_prepost.py
+
+# 6. train-step stage decomposition (supports item 2's MFU analysis)
+TMO=1800 run python tools/profile_train.py
+
+# 7. real-TPU e2e pipeline: train -> TTA -> analysis (VERDICT item 7)
+TMO=3600 run bash tools/tpu_e2e.sh
+
 echo "$(date) queue done" >> "$LOG"
