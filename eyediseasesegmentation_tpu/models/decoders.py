@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules.layers import Attention, BatchNorm, ConvBNReLU, upsample2x
+from .modules.layers import (Attention, BatchNorm, ConvBNReLU,
+                             upsample2x, upsample2x_w)
 from .modules.axial import CrossAxialAttention
 
 Dtype = Any
@@ -76,12 +77,17 @@ class DecoderBlock(nn.Module):
                       name="attention2")(y)
         return depth_to_space(y)
 
-    def _pallas_pair_call(self, x, skip, train):
+    def _pallas_pair_call(self, x, skip, train, up_in_kernel=False):
         """attention1+conv1+BN+ReLU+conv2+BN+ReLU as ONE fused Pallas pass
         that also emits attention2's pooled channel sums (the gate-reduce
         epilogue); attention2's gating multiply stays a plain-NHWC XLA op so
         consumer reductions fuse into it. Same params/module names as the
-        normal path."""
+        normal path.
+
+        up_in_kernel ("pair_up"): part 0 is handed to the kernel W-upsampled
+        at half height and the H-direction bilinear runs in-kernel — the
+        full-res ×2-upsampled map never materializes in HBM (halves that
+        intermediate's write+read traffic and its VMEM stream)."""
         import jax as _jax
 
         from ..ops.pallas_decode_pair import scse_conv3x3_pair
@@ -90,7 +96,7 @@ class DecoderBlock(nn.Module):
         gate_c, sse_k, sse_b = Attention(
             self.attention_type, raw_gates=True, up_part0=True,
             dtype=self.dtype, name="attention1")([x] + skips)
-        parts = [upsample2x(x)] + skips
+        parts = [upsample2x_w(x) if up_in_kernel else upsample2x(x)] + skips
         k1, s1, b1 = ConvBNReLU(self.out_channels, 3,
                                 drop_block_prob=self.drop_block_prob,
                                 mode="pallas_params", dtype=self.dtype,
@@ -107,7 +113,8 @@ class DecoderBlock(nn.Module):
             sse_k, sse_b = jnp.zeros((C,), jnp.float32), jnp.float32(0.0)
         y2, csum = scse_conv3x3_pair(
             parts, gate_c, sse_k, sse_b, k1, s1, b1, k2, s2, b2,
-            gated=gated, interpret=_jax.default_backend() != "tpu")
+            gated=gated, up_part0=up_in_kernel,
+            interpret=_jax.default_backend() != "tpu")
         hw = y2.shape[1] * y2.shape[2]
         return Attention(self.attention_type, dtype=self.dtype,
                          name="attention2")(y2, mean_override=csum / hw)
@@ -128,6 +135,9 @@ class DecoderBlock(nn.Module):
                 and self.packed_input == 1 and not self.keep_packed):
             if self.pallas_tail == "pair":
                 return self._pallas_pair_call(x, skip, train)
+            if self.pallas_tail == "pair_up":
+                return self._pallas_pair_call(x, skip, train,
+                                              up_in_kernel=True)
             return self._pallas_call(x, skip, train)
         # H2 layout (pack along H only) where 2·cout fills the MXU lanes:
         # 4/3-inflation conv1 + 2×-inflation conv2 measured faster than the
@@ -294,7 +304,7 @@ class UnetPlusPlusDecoder(nn.Module):
     fast_inference: bool = False
     fast_min_res: int = 512
     packed_final: bool = False  # hand the final map to the head s2d-packed
-    pallas_tail: Any = False    # fused Pallas kernel(s): True/"v1" or "pair"
+    pallas_tail: Any = False    # fused Pallas kernel(s): True/"v1", "pair", "pair_up"
     fast_train: bool = False    # packed fast tail under training (grad-safe)
     # per-node gradient rematerialization: each grid node's activations are
     # recomputed during backward (segment = one DecoderBlock), cutting the

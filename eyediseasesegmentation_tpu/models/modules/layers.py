@@ -723,6 +723,27 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return y[:, 2:2 + 2 * h, 2:2 + 2 * w]
 
 
+def upsample2x_w(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear ×2 along W only, NHWC → (N, H, 2W, C).
+
+    The W-direction half of ``upsample2x`` (same half-pixel centers and edge
+    clamp).  Used by the ``pallas_tail="pair_up"`` decode-node kernel, which
+    streams part 0 in this half-height form and performs the H-direction
+    interpolation in-kernel (2-term row FMAs), halving the materialized
+    intermediate's HBM traffic (ops/pallas_decode_pair.py)."""
+    n, h, w, c = x.shape
+    if jax.default_backend() != "tpu":
+        return jax.image.resize(x, (n, h, 2 * w, c), "bilinear")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k = jnp.broadcast_to(k1.reshape(1, 4, 1, 1), (1, 4, 1, c))
+    y = jax.lax.conv_general_dilated(
+        xp, k, (1, 1), ((0, 0), (2, 2)),
+        lhs_dilation=(1, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    return y[:, :, 2:2 + 2 * w]
+
+
 def maxpool2x(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 

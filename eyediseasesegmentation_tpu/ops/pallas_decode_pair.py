@@ -64,7 +64,7 @@ def _build_wm(k3: jnp.ndarray, groups, g: int, dtype) -> jnp.ndarray:
 def _kernel(gc_ref, wsse_ref, bsse_ref, wm1_ref, s1_ref, b1_ref,
             wm2_ref, s2_ref, b2_ref, *refs,
             th, cin_list, cout, groups1, groups2, relu, gated, nchunks,
-            out_dtype):
+            out_dtype, up0=False, th2=0):
     n_parts = len(cin_list)
     parts_in = refs[:n_parts]                        # (1, th, W, ci) blocks
     out_ref = refs[n_parts]                          # (1, th, W, cout) y2
@@ -92,7 +92,41 @@ def _kernel(gc_ref, wsse_ref, bsse_ref, wm1_ref, s1_ref, b1_ref,
         wsse_row = wsse_ref[0].reshape(1, -1)        # (1, ΣC) f32
         bsse = bsse_ref[0, 0]
 
+        def half0_row(jh):
+            # up_part0: part 0 streams W-upsampled at HALF height; jh indexes
+            # half rows with the same lagged-block convention (jh=0 top halo
+            # = last row of half block i-2, 1..th2 = half block i-1, th2+1 =
+            # first row of the freshly streamed half block i)
+            if jh == 0:
+                return prevs[0][th2]
+            if jh <= th2:
+                return prevs[0][jh - 1]
+            return parts_in[0][0, 0]
+
         def part_row(p, j):
+            if p == 0 and up0:
+                # reconstruct full-res row j by the H-direction half of the
+                # bilinear ×2 (half-pixel centers): even output rows are
+                # 0.25·hr[m-1]+0.75·hr[m], odd are 0.75·hr[m]+0.25·hr[m+1];
+                # relative to this block that is rows ⌊j/2⌋, ⌊j/2⌋+1 with
+                # weights (.75,.25) for even j, (.25,.75) for odd j
+                w_lo, w_hi = (0.75, 0.25) if j % 2 == 0 else (0.25, 0.75)
+                rl = half0_row(j // 2).astype(_F32)
+                rh = half0_row(j // 2 + 1).astype(_F32)
+                r = w_lo * rl + w_hi * rh
+                # bilinear edge clamp: global row 0 reads half row -1 → 0
+                # (j=1 in the first block); global row H-1 reads half row
+                # H/2 → H/2-1 (j=th in the last block).  Must be a SELECT,
+                # not a weight blend — the clamped-away operand is
+                # uninitialized scratch (NaN·0 = NaN).  Predicate is the
+                # kernel's bisection-proven scalar∨iota 2D form.
+                r_io = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+                if j == 1:
+                    r = jnp.where(jnp.logical_or(i != 1, r_io < 0), r, rh)
+                if j == th:
+                    r = jnp.where(jnp.logical_or(i != nchunks, r_io < 0),
+                                  r, rl)
+                return r.astype(out_dtype)
             if j == 0:
                 return prevs[p][th]
             if j <= th:
@@ -215,8 +249,9 @@ def _kernel(gc_ref, wsse_ref, bsse_ref, wm1_ref, s1_ref, b1_ref,
     @pl.when(i < nchunks)
     def _carry_parts():
         for p in range(n_parts):
-            prevs[p][th] = prevs[p][th - 1]
-            prevs[p][0:th] = parts_in[p][0]
+            t = th2 if (p == 0 and up0) else th
+            prevs[p][t] = prevs[p][t - 1]
+            prevs[p][0:t] = parts_in[p][0]
 
     @pl.when(jnp.logical_and(i > 0, i <= nchunks))
     def _carry_y1():
@@ -238,11 +273,15 @@ def scse_conv3x3_pair(
         relu: bool = True,
         gated: bool = True,
         tile_rows: int = 4,
+        up_part0: bool = False,
         interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused decode-node conv stack + channel-sum epilogue (see module doc).
 
     parts: list of (B, H, W, ci) maps at output resolution (part 0 already
-      ×2-upsampled by the caller).  gate_c: (B, ΣC) f32 ALREADY-sigmoided
+      ×2-upsampled by the caller).  With ``up_part0=True`` part 0 is instead
+      the (B, H/2, W, c0) W-UPSAMPLED half-height map (``upsample2x_w``) and
+      the H-direction bilinear runs in-kernel — the full-res upsampled map
+      never exists in HBM.  gate_c: (B, ΣC) f32 ALREADY-sigmoided
       channel gate; sse_kernel: (ΣC,) f32; sse_bias: scalar f32.
     k1: (3, 3, ΣC, cout); k2: (3, 3, cout, cout) HWIO.  scale*/bias*:
     (cout,) folded eval-BN affines (None = identity).
@@ -252,7 +291,13 @@ def scse_conv3x3_pair(
     (and through it every consumer's) divides by H·W outside.
     """
     parts = list(parts)
-    B, H, W, _ = parts[0].shape
+    if up_part0:
+        B, Hh, W, _ = parts[0].shape
+        H = 2 * Hh
+        assert all(p.shape[1] == H and p.shape[2] == W for p in parts[1:]), \
+            [p.shape for p in parts]
+    else:
+        B, H, W, _ = parts[0].shape
     cin_list = [int(p.shape[-1]) for p in parts]
     C = sum(cin_list)
     cout = int(k1.shape[-1])
@@ -261,9 +306,10 @@ def scse_conv3x3_pair(
     g2, groups2 = _tap_groups(cout)
 
     th = min(tile_rows, H)
-    while H % th != 0:
+    while H % th != 0 or (up_part0 and th % 2):
         th -= 1
     nchunks = H // th
+    th2 = th // 2
 
     dtype = parts[0].dtype
     wm1 = _build_wm(k1, groups1, g1, dtype)
@@ -280,7 +326,7 @@ def scse_conv3x3_pair(
     kern = functools.partial(
         _kernel, th=th, cin_list=cin_list, cout=cout, groups1=groups1,
         groups2=groups2, relu=relu, gated=gated, nchunks=nchunks,
-        out_dtype=dtype)
+        out_dtype=dtype, up0=up_part0, th2=th2)
 
     def in_map(b, i):
         return (b, jnp.minimum(i, nchunks - 1), 0, 0)
@@ -289,8 +335,9 @@ def scse_conv3x3_pair(
         return (b, jnp.clip(i - 2, 0, nchunks - 1), 0, 0)
 
     part_specs = [
-        pl.BlockSpec((1, th, W, ci), in_map, memory_space=pltpu.VMEM)
-        for ci in cin_list
+        pl.BlockSpec((1, th2 if (p == 0 and up_part0) else th, W, ci),
+                     in_map, memory_space=pltpu.VMEM)
+        for p, ci in enumerate(cin_list)
     ]
     y2, csum = pl.pallas_call(
         kern,
@@ -328,7 +375,9 @@ def scse_conv3x3_pair(
             jax.ShapeDtypeStruct((B, cout), _F32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((th + 1, W, ci), dtype) for ci in cin_list]  # prevs
+            [pltpu.VMEM(((th2 if (p == 0 and up_part0) else th) + 1, W, ci),
+                        dtype)
+             for p, ci in enumerate(cin_list)]                       # prevs
             + [pltpu.VMEM((th + 1, W, cout), dtype),                 # y1_prev
                pltpu.VMEM((th, W, cout), dtype),                     # y1_cur
                pltpu.VMEM((th, W, cout), _F32),                      # acc1

@@ -125,9 +125,59 @@ def test_bf16_parts_close():
                                np.asarray(want_y2), rtol=0.08, atol=0.25)
 
 
-def test_flagship_pair_tail_matches_fast_path():
-    """pallas_tail='pair' == the default H2/s2d fast path on the flagship
-    (same params; both are eval-layout rewrites of the same math)."""
+def _up_args(rng, parts_ch, cout, B=2, H=16, W=32, dtype=jnp.float32):
+    """Args for the up_part0 form: part 0 is generated at LOW resolution
+    (H/2, W/2); the kernel receives its W-upsampled half-height form and the
+    plain reference receives the full bilinear ×2 (jax.image.resize)."""
+    args = list(_make(rng, parts_ch, cout, B=B, H=H, W=W, dtype=dtype))
+    x0 = jax.random.normal(jax.random.fold_in(rng, 99),
+                           (B, H // 2, W // 2, parts_ch[0]), dtype)
+    c0 = parts_ch[0]
+    part0_half = jax.image.resize(x0, (B, H // 2, W, c0), "bilinear")
+    part0_full = jax.image.resize(x0, (B, H, W, c0), "bilinear")
+    kernel_parts = [part0_half.astype(dtype)] + args[0][1:]
+    plain_parts = [part0_full.astype(dtype)] + args[0][1:]
+    return kernel_parts, plain_parts, args[1:]
+
+
+@pytest.mark.parametrize("parts_ch,cout,H,tile", [
+    ([24, 8], 8, 16, 4),
+    ([16, 8, 8], 48, 16, 3),   # odd tile_rows -> even-th fallback
+    ([8, 8], 16, 8, 8),        # single chunk: both edge clamps in one block
+])
+def test_up_part0_exact_vs_plain(parts_ch, cout, H, tile):
+    kparts, pparts, rest = _up_args(
+        jax.random.PRNGKey(hash((cout, H)) % 997), parts_ch, cout, H=H)
+    y2, csum = scse_conv3x3_pair(kparts, *rest, relu=True, tile_rows=tile,
+                                 up_part0=True, interpret=True)
+    want_y2, want_csum = _plain(pparts, *rest, relu=True)
+    # separable (W then H) vs one-pass 2D bilinear rounds once more in f32
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(want_y2), rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(csum), np.asarray(want_csum),
+                               rtol=1e-5, atol=2e-3)
+
+
+def test_up_part0_ungated():
+    kparts, pparts, rest = _up_args(jax.random.PRNGKey(21), [16, 8], 16)
+    C = 24
+    _, _, _, k1, s1, b1, k2, s2, b2 = rest
+    y2, csum = scse_conv3x3_pair(
+        kparts, jnp.zeros((2, C)), jnp.zeros((C,)), jnp.float32(0.0),
+        k1, s1, b1, k2, s2, b2, gated=False, tile_rows=4, up_part0=True,
+        interpret=True)
+    want_y2, want_csum = _plain(pparts, None, None, None, k1, s1, b1,
+                                k2, s2, b2, gated=False)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(want_y2), rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(csum), np.asarray(want_csum),
+                               rtol=1e-5, atol=2e-3)
+
+
+@pytest.mark.parametrize("tail", ["pair", "pair_up"])
+def test_flagship_pair_tail_matches_fast_path(tail):
+    """pallas_tail='pair'/'pair_up' == the default H2/s2d fast path on the
+    flagship (same params; all are eval-layout rewrites of the same math)."""
     from functools import partial
 
     from eyediseasesegmentation_tpu import models as zoo
@@ -142,7 +192,7 @@ def test_flagship_pair_tail_matches_fast_path():
     }
     m_ref = zoo.get_model("unetplusplusstar", dict(common), training=False)
     m_pair = zoo.get_model("unetplusplusstar",
-                           dict(common, pallas_tail="pair"), training=False)
+                           dict(common, pallas_tail=tail), training=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, size, size, 3),
                           jnp.float32)
     variables = jax.jit(partial(m_ref.init, train=False))(

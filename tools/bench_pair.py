@@ -126,6 +126,22 @@ def run_node(timed, name, parts_ch, cout, V=8, R=512):
         except Exception as e:  # noqa: BLE001
             print(f"{name} pallas pair th={th} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}")
+    # pair_up: part 0 streamed W-upsampled at half height, H-bilinear
+    # in-kernel (exactness pinned on CPU; this is the timing probe)
+    parts_h = [jax.random.normal(jax.random.fold_in(rng, 50),
+                                 (V, R // 2, R, parts_ch[0]), dt)] + parts[1:]
+    args_h = (*parts_h, gate_c, sse_k, sse_b, k1, s1, b1, k2, s2, b2,
+              jnp.float32(0))
+    for th in (4, 8):
+        try:
+            fn = partial(
+                lambda *a, th: scse_conv3x3_pair(
+                    list(a[:len(parts_ch)]), *a[len(parts_ch):-1],
+                    relu=True, tile_rows=th, up_part0=True), th=th)
+            timed(f"{name} pallas PAIR_UP th={th}", fn, *args_h)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} pallas pair_up th={th} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:300]}")
     # exactness spot check (small slice)
     try:
         small = [p[:1, :64] for p in parts]
@@ -148,7 +164,8 @@ def run_e2e(timed, scale=1024, batch=3):
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch * 8, scale, scale, 3), jnp.bfloat16)
     variables = None
-    for mode in (False, True, "pair"):
+    ref_y = None
+    for mode in (False, True, "pair", "pair_up"):
         model = zoo.get_model(
             "unetplusplusstar",
             {"encoder_name": "BoTSER50_Axial_Imagenet_3",
@@ -163,6 +180,13 @@ def run_e2e(timed, scale=1024, batch=3):
         try:
             timed(f"flagship fwd {batch * 8}x{scale}² pallas_tail={mode!r}",
                   lambda a, v: model.apply(v, a, train=False), x, variables)
+            y = jax.jit(partial(model.apply, train=False))(variables, x[:8])
+            y = jnp.asarray(y, jnp.float32)
+            if ref_y is None:
+                ref_y = y
+            else:
+                print(f"   max|{mode!r} - default| = "
+                      f"{float(jnp.max(jnp.abs(y - ref_y))):.4f}")
         except Exception as e:  # noqa: BLE001
             print(f"e2e pallas_tail={mode!r} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}")
