@@ -45,14 +45,23 @@ def run_measurement():
     # while still fitting HBM with the packed tail
     warmup, iters = 2, 6
 
+    # experiment knobs (A/B sweeps from tools/tpu_queue.sh; defaults above
+    # are what the driver measures)
+    batch = int(os.environ.get("EDS_BENCH_BATCH", batch))
+    model_params = {
+        "encoder_name": "BoTSER50_Axial_Imagenet_3",
+        "decoder_attention_type": "scse",
+        "base_dim": scale_size // 32,
+        "classes": 1,
+    }
+    if os.environ.get("EDS_BENCH_PALLAS_TAIL"):
+        model_params["pallas_tail"] = os.environ["EDS_BENCH_PALLAS_TAIL"]
+    if os.environ.get("EDS_BENCH_MINRES"):
+        model_params["fast_min_res"] = int(os.environ["EDS_BENCH_MINRES"])
+
     model = zoo.get_model(
         "unetplusplusstar",
-        {
-            "encoder_name": "BoTSER50_Axial_Imagenet_3",
-            "decoder_attention_type": "scse",
-            "base_dim": scale_size // 32,
-            "classes": 1,
-        },
+        model_params,
         training=False,
         dtype=jnp.bfloat16,
     )
