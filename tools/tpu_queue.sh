@@ -25,6 +25,11 @@ TMO=2400 run python bench.py
 # 4. fast_min_res sweep on the 8-view forward (round-3 pending probe)
 TMO=2400 run python tools/bench_minres.py
 
+# 4b. headline-bench A/B of the pallas tails (full pre/post included); the
+# default-path number from step 3 is the control
+TMO=2400 run env EDS_BENCH_PALLAS_TAIL=pair_up python bench.py
+TMO=2400 run env EDS_BENCH_PALLAS_TAIL=pair python bench.py
+
 # 5. decoder roofline, round 2 (VERDICT item 8): per-node ms on the fast path
 TMO=2400 run python tools/profile_flagship.py --fast
 
