@@ -23,8 +23,8 @@ import numpy as np
 from ..data import TestSegmentation, get_datapath
 from ..data.datasets import batch_iterator
 from ..ops import metrics as M
-from ..utils import save_output
-from .tta import TTAPredictor, load_model_for_inference
+from .tta import (TTAPredictor, export_masks_on_device,
+                  load_model_for_inference)
 
 logger = logging.getLogger("eyediseasesegmentation_tpu")
 
@@ -113,35 +113,51 @@ def predict(config: Dict[str, Any], logdirs: Sequence, out_dir,
         # members spread over chips, one psum-mean (SURVEY §3.5)
         mean_fn = make_sharded_ensemble(predictors, mesh)
 
-    n_th = len(M.THRESH_LIST)
-    tp = np.zeros(n_th); apc = np.zeros(n_th); pp = np.zeros(n_th)
-    ap_sum, ap_count = 0.0, 0
-    probs_list, names = [], []
-    for batch in batch_iterator(ds, batch_size, shuffle=False):
+    # Pipelined like infer.tta.test_tta: prefetch the decode, one jitted
+    # metrics dispatch per batch, host fetches one batch behind the device.
+    from collections import deque
+
+    from ..data.datasets import prefetch
+
+    eval_fn = jax.jit(M.batch_image_metrics)
+    totals: Dict[str, Any] = {}
+    probs_list = []
+
+    def _materialize(entry):
+        probs_dev, stats_dev, fnames = entry
+        for k, v in stats_dev.items():
+            totals[k] = totals.get(k, 0) + np.asarray(v)
+        probs_list.append((probs_dev, fnames))  # device-resident until export
+
+    pending: deque = deque()
+    for batch in prefetch(batch_iterator(ds, batch_size, shuffle=False,
+                                         workers=min(4, batch_size))):
         imgs = jnp.asarray(batch["image"], jnp.float32)
         if mean_fn is not None:
             mean_probs = mean_fn(imgs)
         else:
             mean_probs = sum(p.predict(imgs)
                              for p in predictors) / len(predictors)
-        for i in range(batch["n_valid"]):
-            p = mean_probs[i]
-            g = jnp.asarray(batch["mask"][i])
-            probs_list.append(np.asarray(p)); names.append(batch["filename"][i])
-            if float(jnp.sum(g)) > 0:
-                ap_sum += float(M.average_precision(p, g))
-                ap_count += 1
-            t, a, q, _ = M.threshold_sweep(p, g)
-            tp += np.asarray(t); apc += np.asarray(a); pp += np.asarray(q)
+        stats = eval_fn(mean_probs, jnp.asarray(batch["mask"], jnp.float32),
+                        jnp.arange(mean_probs.shape[0]) < batch["n_valid"])
+        pending.append((mean_probs, stats,
+                        list(batch["filename"][:batch["n_valid"]])))
+        if len(pending) > 1:
+            _materialize(pending.popleft())
+    while pending:
+        _materialize(pending.popleft())
 
-    mean_auc = ap_sum / max(ap_count, 1)
+    tp, apc, pp = totals["tp"], totals["ap"], totals["pp"]
+    mean_auc = float(totals["ap_sum"]) / max(float(totals["ap_count"]), 1)
     from ..analysis.aucpr import pr_curve_report
     out_dir = Path(out_dir)
     thresholds = pr_curve_report(tp, apc, pp, "ensemble", figure_dir=out_dir / "figures")
     optim = thresholds["optimal_threshold_2"]
     mask_dir = out_dir / "masks"
     mask_dir.mkdir(parents=True, exist_ok=True)
-    for p, name in zip(probs_list, names):
-        save_output((p > optim).astype(np.uint8), mask_dir / (Path(name).stem + ".jpg"))
+    export_masks_on_device(
+        ((p, [Path(n).stem + ".jpg" for n in fnames])
+         for p, fnames in probs_list),
+        optim, mask_dir)
     logger.info("ensemble MEAN-AUC %.5f", mean_auc)
     return {"mean_auc": mean_auc, "thresholds": thresholds, "out_dir": str(mask_dir)}

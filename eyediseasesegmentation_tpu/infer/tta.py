@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+from collections import deque
 from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -26,7 +27,7 @@ import numpy as np
 
 from .. import models as zoo
 from ..data import TestSegmentation, get_datapath, get_transform
-from ..data.datasets import batch_iterator
+from ..data.datasets import batch_iterator, prefetch
 from ..ops import image as I
 from ..ops import metrics as M
 from ..train.checkpoint import load_checkpoint
@@ -256,6 +257,49 @@ def _str2bool(v) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
 
+def export_masks_on_device(prob_batches, optim, out_path, prob_path=None):
+    """Binarize (and optionally quantize) predictions ON DEVICE, fetch uint8.
+
+    ``prob_batches``: iterable of (device_probs (B, H, W) or (H, W) fp32,
+    [output file names]).  The reference exported by thresholding fp32 probs
+    on the host (tta.py:138-148); fetching full-res fp32 dominates the whole
+    pipeline on the remote-TPU transport (27 IDRiD images = 1.3 GB), so the
+    compare/quantize runs on device and only uint8 crosses the wire (4× less,
+    overlapped one batch behind the device).  Outputs are identical: the
+    ``p > t`` compare happens in fp32 either way, and XLA's float→uint8
+    convert truncates toward zero exactly like ``np.ndarray.astype``.
+
+    Trade-off made explicit: the caller keeps predictions device-resident
+    until the threshold sweep picks ``optim`` — n_images × H × W × 4 bytes of
+    HBM (IDRiD's 27-image test dir ≈ 1.3 GB).  For test sets that exceed HBM,
+    fall back to per-batch host fetch (the pre-round-4 behavior).
+    """
+    mask_fn = jax.jit(lambda p, t: (p > t).astype(jnp.uint8))
+    prob_fn = jax.jit(lambda p: (p * 255.0).astype(jnp.uint8))
+    t = jnp.float32(optim)
+    pending: deque = deque()
+
+    def _save(entry):
+        m8, p8, fnames = entry
+        m = np.asarray(m8)
+        q = None if p8 is None else np.asarray(p8)
+        for i, name in enumerate(fnames):
+            if q is not None:
+                save_output(q[i], Path(prob_path) / name)
+            save_output(m[i], Path(out_path) / name)
+
+    for probs, fnames in prob_batches:
+        if probs.ndim == 2:
+            probs = probs[None]
+        pending.append((mask_fn(probs, t),
+                        prob_fn(probs) if prob_path is not None else None,
+                        fnames))
+        if len(pending) > 1:
+            _save(pending.popleft())
+    while pending:
+        _save(pending.popleft())
+
+
 def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
              batch_size: int = 2, metric: str = "pr",
              resize: bool = True) -> Dict[str, Any]:
@@ -283,33 +327,53 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
                              resize=resize)
 
     # ---- one prediction pass; metrics fan out from the same probs ----
-    all_probs: List[np.ndarray] = []
-    all_masks: List[np.ndarray] = []
-    names: List[str] = []
-    ap_sum, ap_count = 0.0, 0
-    n_th = len(M.THRESH_LIST)
-    tp = np.zeros(n_th); ap_counts = np.zeros(n_th); pp = np.zeros(n_th)
-    tn = np.zeros(n_th); total_px = 0.0
-    score_fn = jax.jit(M.average_precision if metric == "pr" else M.roc_auc)
-    sweep_fn = jax.jit(M.threshold_sweep)
+    # Fully pipelined (the reference loop synced the host per image,
+    # tta.py:108-137): background-thread decode (prefetch), ONE jitted
+    # metrics dispatch per batch (per-image AP + 19-threshold sweep fused in
+    # batch_image_metrics), and host materialization deferred one batch
+    # behind — decode, TTA forward, metric reduction and D2H transfer of the
+    # previous batch's probabilities all overlap on the device timeline.
+    # Predictions stay DEVICE-RESIDENT until the sweep picks the optimal
+    # threshold, then binarize/quantize on device and fetch uint8 only
+    # (export_masks_on_device) — n_images × H × W × 4 bytes of HBM while the
+    # pass runs (IDRiD's 27-image test dir ≈ 1.3 GB).
+    prob_batches: List[Tuple[Any, List[str]]] = []
+    totals: Dict[str, Any] = {}
+    eval_fn = jax.jit(partial(M.batch_image_metrics,
+                              score="ap" if metric == "pr" else "roc"))
 
-    for batch in batch_iterator(ds, batch_size, shuffle=False):
+    def _materialize(entry):
+        probs_dev, stats_dev, fnames = entry
+        for k, v in stats_dev.items():
+            totals[k] = totals.get(k, 0) + np.asarray(v)
+        prob_batches.append((probs_dev, fnames))
+
+    import time as _time
+
+    t_start = _time.perf_counter()
+    pending: deque = deque()
+    for batch in prefetch(batch_iterator(ds, batch_size, shuffle=False,
+                                         workers=min(4, batch_size))):
         probs = predictor.predict(batch["image"])
-        for i in range(batch["n_valid"]):
-            p = probs[i]
-            g = jnp.asarray(batch["mask"][i])
-            all_probs.append(np.asarray(p))
-            all_masks.append(np.asarray(g))
-            names.append(batch["filename"][i])
-            if float(jnp.sum(g)) > 0:  # skip empty-GT (aucpr.py:22-23)
-                ap_sum += float(score_fn(p, g))
-                ap_count += 1
-            t, a, q, n = sweep_fn(p, g)
-            tp += np.asarray(t); ap_counts += np.asarray(a); pp += np.asarray(q)
-            tn += np.asarray(n); total_px += p.size
+        stats = eval_fn(probs, jnp.asarray(batch["mask"], jnp.float32),
+                        jnp.arange(probs.shape[0]) < batch["n_valid"])
+        # filename is padded to batch_size like every stacked key — keep the
+        # real entries only
+        pending.append((probs, stats,
+                        list(batch["filename"][:batch["n_valid"]])))
+        if len(pending) > 1:
+            _materialize(pending.popleft())
+    while pending:
+        _materialize(pending.popleft())
+    elapsed = _time.perf_counter() - t_start
+    n_images = sum(len(f) for _, f in prob_batches)
 
-    mean_auc = ap_sum / max(ap_count, 1)
-    logger.info("MEAN-AUC %.5f", mean_auc)
+    tp, ap_counts, pp = totals["tp"], totals["ap"], totals["pp"]
+    tn, total_px = totals["tn"], totals["px"]
+    mean_auc = float(totals["ap_sum"]) / max(float(totals["ap_count"]), 1)
+    logger.info("MEAN-AUC %.5f | %d images in %.1fs incl. decode+metrics "
+                "(%.2f img/s, first batch carries the compile)",
+                mean_auc, n_images, elapsed, n_images / max(elapsed, 1e-9))
 
     from ..analysis.aucpr import pr_curve_report, roc_curve_report
     out_root = Path(cfg.get("out_dir", "outputs")) / cfg["dataset_name"]
@@ -325,14 +389,15 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
 
     out_path = out_root / "tta" / cfg["lesion_type"] / logdir.name
     out_path.mkdir(parents=True, exist_ok=True)
-    prob_path = out_root / "tta" / cfg["lesion_type"] / "prob_image" / logdir.name
-    for p, name in zip(all_probs, names):
-        stem = Path(name).stem + ".jpg"
-        if _str2bool(args.get("createprob", "false")):
-            prob_path.mkdir(parents=True, exist_ok=True)
-            save_output((p * 255).astype(np.uint8), prob_path / stem)
-        mask = (p > optim).astype(np.uint8)
-        save_output(mask, out_path / stem)
+    prob_path = None
+    if _str2bool(args.get("createprob", "false")):
+        prob_path = (out_root / "tta" / cfg["lesion_type"] / "prob_image"
+                     / logdir.name)
+        prob_path.mkdir(parents=True, exist_ok=True)
+    export_masks_on_device(
+        ((p, [Path(n).stem + ".jpg" for n in fnames])
+         for p, fnames in prob_batches),
+        optim, out_path, prob_path)
 
     return {"mean_auc": mean_auc, "thresholds": thresholds,
             "out_dir": str(out_path)}
@@ -396,14 +461,22 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
         predict = jax.jit(partial(tiled_predict, tile_fn, window=window,
                                   scale_size=scale_size))
 
-    ap_sum, ap_count = 0.0, 0
-    n_th = len(M.THRESH_LIST)
-    tp = np.zeros(n_th); apc = np.zeros(n_th); pp = np.zeros(n_th)
-    tn = np.zeros(n_th); total_px = 0.0
-    score_fn = M.average_precision if metric == "pr" else M.roc_auc
+    # Pipelined like test_tta: prefetch hides the per-image decode, the
+    # jitted batch_image_metrics collapses per-image AP + sweep into one
+    # dispatch, and host fetches run one image behind the device.
+    eval_fn = jax.jit(partial(M.batch_image_metrics,
+                              score="ap" if metric == "pr" else "roc"))
+    totals: Dict[str, Any] = {}
     probs_list, names = [], []
-    for i in range(len(ds)):
-        s = ds[i]
+
+    def _materialize(entry):
+        probs_dev, stats_dev, fname = entry
+        for k, v in stats_dev.items():
+            totals[k] = totals.get(k, 0) + np.asarray(v)
+        probs_list.append(probs_dev); names.append(fname)  # device-resident
+
+    pending: deque = deque()
+    for s in prefetch(map(ds.__getitem__, range(len(ds)))):
         if (s["ori_h"], s["ori_w"]) != (h0, w0):
             raise ValueError(
                 f"tiled inference grid was built for {(h0, w0)} (the first "
@@ -412,16 +485,16 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
                 "are not supported in one pass.")
         probs = predict(jnp.asarray(s["image"], jnp.float32),
                         grid=jnp.asarray(grid))
-        g = jnp.asarray(s["mask"])
-        probs_list.append(np.asarray(probs)); names.append(s["filename"])
-        if float(jnp.sum(g)) > 0:
-            ap_sum += float(score_fn(probs, g))
-            ap_count += 1
-        t, a, q, n = M.threshold_sweep(probs, g)
-        tp += np.asarray(t); apc += np.asarray(a); pp += np.asarray(q)
-        tn += np.asarray(n); total_px += probs.size
+        stats = eval_fn(probs[None], jnp.asarray(s["mask"], jnp.float32)[None])
+        pending.append((probs, stats, s["filename"]))
+        if len(pending) > 1:
+            _materialize(pending.popleft())
+    while pending:
+        _materialize(pending.popleft())
 
-    mean_auc = ap_sum / max(ap_count, 1)
+    tp, apc, pp = totals["tp"], totals["ap"], totals["pp"]
+    tn, total_px = totals["tn"], totals["px"]
+    mean_auc = float(totals["ap_sum"]) / max(float(totals["ap_count"]), 1)
     from ..analysis.aucpr import pr_curve_report, roc_curve_report
     out_root = Path(cfg.get("out_dir", "outputs")) / cfg["dataset_name"]
     figure_dir = out_root / "figures" / cfg["lesion_type"]
@@ -434,9 +507,10 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
     optim = thresholds["optimal_threshold_2"]
     out_path = out_root / "tta" / cfg["lesion_type"] / logdir.name
     out_path.mkdir(parents=True, exist_ok=True)
-    for p, name in zip(probs_list, names):
-        # IDRiD name remap _<LESION>.tif → .jpg (tta.py:191,234)
-        stem = Path(name).stem.replace(f"_{cfg['lesion_type']}", "") + ".jpg"
-        save_output((p > optim).astype(np.uint8), out_path / stem)
+    # IDRiD name remap _<LESION>.tif → .jpg (tta.py:191,234)
+    export_masks_on_device(
+        ((p, [Path(n).stem.replace(f"_{cfg['lesion_type']}", "") + ".jpg"])
+         for p, n in zip(probs_list, names)),
+        optim, out_path)
     return {"mean_auc": mean_auc, "thresholds": thresholds,
             "out_dir": str(out_path)}

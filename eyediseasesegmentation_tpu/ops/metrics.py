@@ -143,6 +143,41 @@ def threshold_sweep(probs: jnp.ndarray, targets: jnp.ndarray,
     return tp, ap, pp, tn
 
 
+def batch_image_metrics(probs, masks, valid=None, score: str = "ap"):
+    """Whole-batch evaluation for the inference pipelines in ONE dispatch.
+
+    Fuses what the reference computed image-by-image on the host (per-image
+    sklearn AP + the 19-threshold sweep, aucpr.py:17-30,53-86) into a single
+    jitted call over a padded batch, so the host loop never blocks per image —
+    over the remote-TPU transport every host sync costs a full ~29 ms RTT,
+    and the old per-image pattern paid 3-4 of them per image.
+
+    ``probs``/``masks``: (B, H, W); ``valid``: (B,) bool marking real (not
+    batch-padding) images.  ``score``: 'ap' (lesion path) or 'roc' (vessel).
+    Images whose GT is empty are excluded from the AP mean, matching the
+    reference's skip (aucpr.py:22-23).  Returns a dict of counters —
+    accumulate across batches by summing each entry.
+    """
+    probs = probs.astype(jnp.float32)
+    masks = masks.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((probs.shape[0],), bool)
+    valid_f = valid.astype(jnp.float32)
+    fn = average_precision if score == "ap" else roc_auc
+    per_img = jax.vmap(fn)(probs, masks)
+    has_pos = (jnp.sum(masks, axis=(1, 2)) > 0) & valid
+    tp, ap, pp, tn = jax.vmap(lambda p, g: threshold_sweep(p, g))(probs, masks)
+    w = valid_f[:, None]
+    px_per_img = float(np.prod(probs.shape[1:]))
+    return {
+        "ap_sum": jnp.sum(jnp.where(has_pos, per_img, 0.0)),
+        "ap_count": jnp.sum(has_pos.astype(jnp.float32)),
+        "tp": jnp.sum(tp * w, axis=0), "ap": jnp.sum(ap * w, axis=0),
+        "pp": jnp.sum(pp * w, axis=0), "tn": jnp.sum(tn * w, axis=0),
+        "px": jnp.sum(valid_f) * px_per_img,
+    }
+
+
 def pr_from_counts(tp, ap, pp):
     """Sensitivity/PPV with the 1e-7 smoothing of aucpr.py:83-86."""
     sn = (tp + 1e-7) / (ap + 1e-7)

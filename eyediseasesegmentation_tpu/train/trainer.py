@@ -20,6 +20,7 @@ import dataclasses
 import json
 import logging
 import time
+from collections import deque
 from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -417,12 +418,14 @@ class Trainer:
             vlosses, batch_dices, batch_ious = [], [], []
             visualize = bool(cfg.get("visualize_batches", True))
             best_b = worst_b = None  # ShowPolarBatchesCallback role
-            for batch in prefetch(batch_iterator(valid_ds, batch_size,
-                                                 workers=self.num_workers,
-                                                 shuffle=False)):
-                r = self._eval_step(state, jnp.asarray(batch["image"]),
-                                    jnp.asarray(batch["mask"]),
-                                    jnp.asarray(batch["n_valid"]))
+
+            # Host consumption runs one batch behind the device so the next
+            # eval step dispatches before this one's scalars are fetched; the
+            # best/worst-batch candidates hold DEVICE references — only the
+            # two winners are materialized, at epoch end.
+            def _consume_eval(entry):
+                nonlocal inter, pred, true, best_b, worst_b, tp, ap, pp
+                r, nv = entry
                 bi, bp, bt = float(r["inter"]), float(r["pred"]), float(r["true"])
                 inter += bi; pred += bp
                 true += bt; vlosses.append(float(r["loss"]))
@@ -432,15 +435,23 @@ class Trainer:
                 batch_dices.append(bd)
                 batch_ious.append((bi + eps) / (bp + bt - bi + eps))
                 if visualize:
-                    nv = int(batch["n_valid"])
                     if best_b is None or bd > best_b[0]:
-                        best_b = (bd, np.asarray(r["vis_img"][:nv]),
-                                  np.asarray(r["gt"][:nv]),
-                                  np.asarray(r["probs"][:nv]))
+                        best_b = (bd, r["vis_img"], r["gt"], r["probs"], nv)
                     if worst_b is None or bd < worst_b[0]:
-                        worst_b = (bd, np.asarray(r["vis_img"][:nv]),
-                                   np.asarray(r["gt"][:nv]),
-                                   np.asarray(r["probs"][:nv]))
+                        worst_b = (bd, r["vis_img"], r["gt"], r["probs"], nv)
+
+            pending_eval: deque = deque()
+            for batch in prefetch(batch_iterator(valid_ds, batch_size,
+                                                 workers=self.num_workers,
+                                                 shuffle=False)):
+                r = self._eval_step(state, jnp.asarray(batch["image"]),
+                                    jnp.asarray(batch["mask"]),
+                                    jnp.asarray(batch["n_valid"]))
+                pending_eval.append((r, int(batch["n_valid"])))
+                if len(pending_eval) > 1:
+                    _consume_eval(pending_eval.popleft())
+            while pending_eval:
+                _consume_eval(pending_eval.popleft())
             val_dice = float(np.mean(batch_dices)) if batch_dices else 0.0
             val_iou = float(np.mean(batch_ious)) if batch_ious else 0.0
             sn = (tp + eps) / (ap + eps)
@@ -459,7 +470,10 @@ class Trainer:
                 vis_dir = logdir / "visuals"
                 vis_dir.mkdir(parents=True, exist_ok=True)
                 from PIL import Image as _Image
-                for tag, (d, im, gt, pr) in (("best", best_b), ("worst", worst_b)):
+                for tag, (d, im_d, gt_d, pr_d, nv) in (("best", best_b),
+                                                       ("worst", worst_b)):
+                    im = np.asarray(im_d[:nv]); gt = np.asarray(gt_d[:nv])
+                    pr = np.asarray(pr_d[:nv])
                     panels = [overlay_mask_image(im[i], gt[i] > 0.5, pr[i] > 0.5)
                               for i in range(im.shape[0])]
                     strip = np.concatenate(panels, axis=1) if panels else None

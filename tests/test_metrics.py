@@ -84,3 +84,41 @@ def test_dice_iou_coeff():
     i = float(M.iou_coeff(pred, gt))
     assert abs(d - 2 * 1 / (2 + 1)) < 1e-5
     assert abs(i - 1 / 2) < 1e-5
+
+
+@pytest.mark.parametrize("score", ["ap", "roc"])
+def test_batch_image_metrics_matches_per_image_loop(score):
+    """The fused one-dispatch batch evaluator == the per-image host loop it
+    replaced in infer.tta.test_tta (padding excluded, empty-GT skipped)."""
+    rng = np.random.RandomState(0)
+    B, H, W = 4, 17, 23
+    probs = rng.rand(B, H, W).astype(np.float32)
+    masks = (rng.rand(B, H, W) < 0.3).astype(np.float32)
+    masks[1] = 0.0          # empty GT: excluded from the AP mean
+    probs[3] = 0.9          # padded entry: excluded from everything
+    valid = np.array([True, True, True, False])
+
+    out = M.batch_image_metrics(jnp.asarray(probs), jnp.asarray(masks),
+                                jnp.asarray(valid), score=score)
+
+    fn = M.average_precision if score == "ap" else M.roc_auc
+    ap_sum, ap_count, px = 0.0, 0, 0.0
+    n_th = len(M.THRESH_LIST)
+    tp = np.zeros(n_th); ap = np.zeros(n_th); pp = np.zeros(n_th); tn = np.zeros(n_th)
+    for i in range(B):
+        if not valid[i]:
+            continue
+        p, g = jnp.asarray(probs[i]), jnp.asarray(masks[i])
+        if float(jnp.sum(g)) > 0:
+            ap_sum += float(fn(p, g)); ap_count += 1
+        t, a, q, n = M.threshold_sweep(p, g)
+        tp += np.asarray(t); ap += np.asarray(a); pp += np.asarray(q)
+        tn += np.asarray(n); px += H * W
+
+    assert abs(float(out["ap_sum"]) - ap_sum) < 1e-4
+    assert int(out["ap_count"]) == ap_count
+    np.testing.assert_allclose(np.asarray(out["tp"]), tp, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["ap"]), ap, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["pp"]), pp, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["tn"]), tn, atol=1e-3)
+    assert float(out["px"]) == px
