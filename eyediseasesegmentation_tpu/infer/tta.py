@@ -184,6 +184,14 @@ class TTAPredictor:
         if self.tta in ("five_crop", "ten_crop"):
             return self._crop_tta(imgs, variables)
         make_views, inverse, V = TTA_FAMILIES[self.tta]
+        # Cast to the model's compute dtype BEFORE building the views: the
+        # flip/rot90 family is pure permutation, so cast∘permute ≡
+        # permute∘cast and the model's first conv casts its input anyway —
+        # the (V·B, S, S, C) stack (402 MB fp32 at d4/1024²/b3) materializes
+        # at half the bytes with identical numerics.
+        cdt = getattr(self.model, "dtype", None)
+        if cdt is not None and imgs.dtype != cdt:
+            imgs = imgs.astype(cdt)
         views = make_views(imgs)  # (V, B, S, S, C)
         v, b, h, w, c = views.shape
         flat = views.reshape(v * b, h, w, c)
