@@ -138,8 +138,8 @@ def predict(config: Dict[str, Any], logdirs: Sequence, out_dir,
         else:
             mean_probs = sum(p.predict(imgs)
                              for p in predictors) / len(predictors)
-        stats = eval_fn(mean_probs, jnp.asarray(batch["mask"], jnp.float32),
-                        jnp.arange(mean_probs.shape[0]) < batch["n_valid"])
+        stats = eval_fn(mean_probs, batch["mask"].astype(np.uint8),
+                        batch["n_valid"])
         pending.append((mean_probs, stats,
                         list(batch["filename"][:batch["n_valid"]])))
         if len(pending) > 1:

@@ -125,6 +125,7 @@ class TTAPredictor:
         if self.mesh is not None:
             from ..parallel import replicate
             self.variables = replicate(self.variables, self.mesh)
+        self._uint8_wire = True  # disabled on first non-integral input
         self._predict_jit = jax.jit(self._predict)
 
     def _forward(self, images, variables=None):
@@ -230,6 +231,7 @@ class TTAPredictor:
         return acc / jnp.maximum(cnt, 1.0)[None]
 
     def _predict(self, raw_images, variables=None):
+        raw_images = raw_images.astype(jnp.float32)  # uint8 wire, see predict()
         if not self.resize:
             prep = self.transform.preprocessing_fn or (lambda x: x)
             probs = self._tta_probs(jax.vmap(prep)(raw_images), variables)
@@ -243,7 +245,21 @@ class TTAPredictor:
         return probs
 
     def predict(self, raw_images) -> jnp.ndarray:
-        raw_images = jnp.asarray(raw_images, jnp.float32)
+        # Host→device wire: decoded pixels (incl. ben-transformed — integral
+        # uint8-derived values) ship as uint8 and promote to fp32 in-jit —
+        # the raw full-res batch is the pipeline's biggest transfer (146 MB
+        # fp32 vs 37 MB uint8 for 3 IDRiD images).  Non-integral inputs
+        # (``gray``'s host luma floats) keep the fp32 wire; the exact
+        # round-trip check makes the choice safe for any custom input.
+        if isinstance(raw_images, np.ndarray) and self._uint8_wire:
+            if raw_images.dtype != np.uint8:
+                u8 = raw_images.astype(np.uint8)
+                if (u8 == raw_images).all():
+                    raw_images = u8
+                else:
+                    self._uint8_wire = False
+        raw_images = (raw_images if isinstance(raw_images, jnp.ndarray)
+                      else jnp.asarray(raw_images))
         if self.resize and self.ori_hw is not None:
             got = tuple(raw_images.shape[1:3])
             if got != tuple(self.ori_hw):
@@ -363,8 +379,9 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
     for batch in prefetch(batch_iterator(ds, batch_size, shuffle=False,
                                          workers=min(4, batch_size))):
         probs = predictor.predict(batch["image"])
-        stats = eval_fn(probs, jnp.asarray(batch["mask"], jnp.float32),
-                        jnp.arange(probs.shape[0]) < batch["n_valid"])
+        # GT ships uint8 ({0,1} exact, 4× less H2D); n_valid expands in-jit
+        stats = eval_fn(probs, batch["mask"].astype(np.uint8),
+                        batch["n_valid"])
         # filename is padded to batch_size like every stacked key — keep the
         # real entries only
         pending.append((probs, stats,
@@ -493,7 +510,7 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
                 "are not supported in one pass.")
         probs = predict(jnp.asarray(s["image"], jnp.float32),
                         grid=jnp.asarray(grid))
-        stats = eval_fn(probs[None], jnp.asarray(s["mask"], jnp.float32)[None])
+        stats = eval_fn(probs[None], s["mask"][None].astype(np.uint8))
         pending.append((probs, stats, s["filename"]))
         if len(pending) > 1:
             _materialize(pending.popleft())

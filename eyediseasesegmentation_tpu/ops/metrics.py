@@ -159,9 +159,14 @@ def batch_image_metrics(probs, masks, valid=None, score: str = "ap"):
     accumulate across batches by summing each entry.
     """
     probs = probs.astype(jnp.float32)
-    masks = masks.astype(jnp.float32)
+    masks = masks.astype(jnp.float32)  # masks may arrive uint8 (4× less H2D)
     if valid is None:
         valid = jnp.ones((probs.shape[0],), bool)
+    else:
+        valid = jnp.asarray(valid)
+        if valid.ndim == 0:  # scalar n_valid — expand inside the jit so the
+            # host never dispatches an eager arange/compare per batch
+            valid = jnp.arange(probs.shape[0]) < valid
     valid_f = valid.astype(jnp.float32)
     fn = average_precision if score == "ap" else roc_auc
     per_img = jax.vmap(fn)(probs, masks)

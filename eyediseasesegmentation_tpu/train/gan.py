@@ -188,9 +188,11 @@ class GanTrainer:
         no per-image host syncs (each costs a full RTT on the remote TPU)."""
 
         @jax.jit
-        def _batch_ap(probs, masks, valid):
+        def _batch_ap(probs, masks, n_valid):
+            masks = masks.astype(jnp.float32)  # uint8 wire
             per = jax.vmap(M.average_precision)(probs, masks)
-            has = (jnp.sum(masks, axis=(1, 2)) > 0) & valid
+            has = ((jnp.sum(masks, axis=(1, 2)) > 0)
+                   & (jnp.arange(probs.shape[0]) < n_valid))
             return (jnp.sum(jnp.where(has, per, 0.0)),
                     jnp.sum(has.astype(jnp.float32)))
 
@@ -199,9 +201,8 @@ class GanTrainer:
         for batch in batch_iterator(dataset, batch_size, shuffle=False):
             imgs = jnp.asarray(batch["image"], jnp.float32)
             probs = self._fwd(g_params, g_bs, imgs)
-            pending.append(_batch_ap(
-                probs, jnp.asarray(batch["mask"], jnp.float32),
-                jnp.arange(probs.shape[0]) < batch["n_valid"]))
+            pending.append(_batch_ap(probs, batch["mask"].astype(np.uint8),
+                                     batch["n_valid"]))
             if len(pending) > 1:
                 s, c = pending.pop(0)
                 ap_sum += float(s); count += float(c)

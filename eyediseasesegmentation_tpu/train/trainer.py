@@ -162,7 +162,25 @@ class Trainer:
                     ("encoder",) if (self.finetune or cfg.get("encoder_weights"))
                     else ()))
         self.frozen_param_scopes = ("encoder",) if self.finetune else ()
+        # Host→device wire format: decoded pixels (and ben-transformed ones —
+        # cv2.addWeighted on uint8 stays integral) ship as uint8 and promote
+        # to fp32 on device (4× less H2D per step, exact).  ``gray`` collapses
+        # to non-integral host floats, so it keeps the fp32 wire.
+        self._uint8_wire = not bool(cfg.get("gray", False))
         self._build_steps()
+
+    def _wire(self, a: np.ndarray) -> np.ndarray:
+        if not self._uint8_wire:
+            return a
+        if a.dtype == np.uint8:
+            return a
+        u8 = a.astype(np.uint8)
+        if (u8 == a).all():  # exact round-trip: integral 0-255 values only
+            return u8
+        # a custom dataset fed non-integral pixels — permanently fall back to
+        # the fp32 wire (one-time, so the jitted step keeps a single dtype)
+        self._uint8_wire = False
+        return a
 
     # ------------------------------------------------------------------
     # compiled steps
@@ -245,6 +263,10 @@ class Trainer:
             return new
 
         def train_step(state: TrainState, images, masks, rng, lr):
+            # batches may arrive uint8 (4× less H2D traffic; exact — decoded
+            # pixels and binarized masks are integral): promote on device
+            images = images.astype(jnp.float32)
+            masks = masks.astype(jnp.float32)
             aug_key, drop_key = jax.random.split(jax.random.fold_in(rng, state.step))
             images, masks = transform.batch_train(aug_key, images, masks)
             grad_fn = jax.value_and_grad(
@@ -269,6 +291,8 @@ class Trainer:
 
         def eval_step(state: TrainState, images, masks, n_valid):
             from ..ops import image as I
+            images = images.astype(jnp.float32)  # uint8 wire, see train_step
+            masks = masks.astype(jnp.float32)
             raw = images
             images = jax.vmap(transform.test)(images)
             m = masks[..., None] if masks.ndim == 3 else masks
@@ -398,7 +422,8 @@ class Trainer:
                 if scheduler is not None and scheduler.batch_update:
                     lr = scheduler.batch_lr(global_step)
                 state, m = self._train_step(
-                    state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+                    state, jnp.asarray(self._wire(batch["image"])),
+                    jnp.asarray(self._wire(batch["mask"])),
                     jax.random.fold_in(root_key, 1000 + epoch),
                     jnp.asarray(lr, jnp.float32))
                 train_metrics.append(m)
@@ -444,8 +469,9 @@ class Trainer:
             for batch in prefetch(batch_iterator(valid_ds, batch_size,
                                                  workers=self.num_workers,
                                                  shuffle=False)):
-                r = self._eval_step(state, jnp.asarray(batch["image"]),
-                                    jnp.asarray(batch["mask"]),
+                r = self._eval_step(state,
+                                    jnp.asarray(self._wire(batch["image"])),
+                                    jnp.asarray(self._wire(batch["mask"])),
                                     jnp.asarray(batch["n_valid"]))
                 pending_eval.append((r, int(batch["n_valid"])))
                 if len(pending_eval) > 1:

@@ -122,3 +122,18 @@ def test_batch_image_metrics_matches_per_image_loop(score):
     np.testing.assert_allclose(np.asarray(out["pp"]), pp, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out["tn"]), tn, atol=1e-3)
     assert float(out["px"]) == px
+
+
+def test_batch_image_metrics_scalar_n_valid_and_uint8_masks():
+    """The scalar-n_valid form (expanded inside the jit) and uint8 GT wire
+    must equal the explicit bool-mask fp32 form."""
+    rng = np.random.RandomState(3)
+    probs = rng.rand(3, 9, 11).astype(np.float32)
+    masks = (rng.rand(3, 9, 11) < 0.4).astype(np.float32)
+    a = M.batch_image_metrics(jnp.asarray(probs), jnp.asarray(masks),
+                              jnp.asarray([True, True, False]))
+    b = M.batch_image_metrics(jnp.asarray(probs),
+                              jnp.asarray(masks.astype(np.uint8)), 2)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=0, atol=0)

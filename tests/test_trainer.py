@@ -322,3 +322,42 @@ def test_finetune_freezes_encoder(tmp_path):
     moved = jax.tree_util.tree_map(
         lambda a, b: float(np.max(np.abs(a - b))), enc0, enc2)
     assert max(jax.tree_util.tree_leaves(moved)) > 0, "control encoder frozen?"
+
+
+def test_uint8_wire_step_matches_fp32(tmp_path):
+    """The uint8 host→device wire format (4× less H2D) is EXACT: a train step
+    fed uint8 pixels/masks must produce bit-identical loss and params to the
+    fp32-fed step (the step promotes on device; decoded pixels are integral)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from eyediseasesegmentation_tpu.train.trainer import Trainer
+
+    base = {
+        "dataset_name": "IDRiD", "lesion_type": "EX",
+        "augmentation": "normal", "scale_size": 32, "batch_size": 2,
+        "learning_rate": 1e-2, "weight_decay": 1e-2, "is_fp16": False,
+        "model_name": "resnet18_unet32",
+        "model_params": {"decoder_channels": [16, 8, 8, 8, 8], "classes": 1},
+        "criterion": {"bce": 1.0}, "pos_weights": [5.0],
+        "optimizer": "adamw", "mesh_shape": {"data": 1},
+    }
+    rng = np.random.RandomState(0)
+    img_u8 = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    msk_u8 = (rng.rand(2, 32, 32) < 0.3).astype(np.uint8)
+
+    tr = Trainer(base, seed=1999)
+    assert tr._uint8_wire  # default wire format (gray=False)
+    outs = {}
+    for tag, img, msk in (("u8", img_u8, msk_u8),
+                          ("f32", img_u8.astype(np.float32),
+                           msk_u8.astype(np.float32))):
+        state = tr.init_state(jax.random.PRNGKey(0), sample_shape=(2, 32, 32, 3))
+        state, m = tr._train_step(state, jnp.asarray(img), jnp.asarray(msk),
+                                  jax.random.PRNGKey(7),
+                                  jnp.asarray(1e-2, jnp.float32))
+        outs[tag] = (float(m["loss"]),
+                     jax.tree_util.tree_map(np.asarray, state.params))
+    assert outs["u8"][0] == outs["f32"][0]
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           outs["u8"][1], outs["f32"][1])
