@@ -73,6 +73,40 @@ def main():
     timed("downscale alone full->680x1024",
           lambda r: jax.vmap(lambda q: I.longest_max_size_pad(q, S))(r), raw)
 
+    # ---- wire formats (round-4 uint8 wire): H2D and D2H, fp32 vs uint8 ----
+    import numpy as np
+
+    def time_h2d(arr, iters=4):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            x = jax.device_put(arr)
+            float(jnp.sum(x[:1, :2, :2]))  # force materialization on device
+            ts.append(time.perf_counter() - t0)
+            del x
+        return min(ts)
+
+    host32 = (np.random.RandomState(0).rand(3, H, W, 3) * 255
+              ).astype(np.float32)
+    mb32 = host32.nbytes / 2**20
+    t32 = time_h2d(host32)
+    t8 = time_h2d(host32.astype(np.uint8))
+    print(f"{'H2D raw batch3 fp32 (%dMB)' % mb32:52s} {t32 * 1e3:8.2f} ms")
+    print(f"{'H2D raw batch3 uint8 (%dMB)' % (mb32 / 4):52s} {t8 * 1e3:8.2f} ms")
+
+    probs_dev = jax.device_put(
+        np.random.RandomState(1).rand(3, H, W).astype(np.float32))
+    mask_dev = jax.jit(lambda p: (p > 0.5).astype(jnp.uint8))(probs_dev)
+    float(jnp.sum(mask_dev[:1, :2, :2]))
+    for name, dev in (("D2H probs batch3 fp32 (98MB)", probs_dev),
+                      ("D2H masks batch3 uint8 (24MB)", mask_dev)):
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(dev)
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:52s} {min(ts) * 1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
