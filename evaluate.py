@@ -97,7 +97,7 @@ def main():
                     f"tile grid was built for the first image's "
                     f"{(first['ori_h'], first['ori_w'])}")
             yield (s["filename"],
-                   predict(jnp.asarray(s["image"], jnp.float32), grid=grid),
+                   predict(jnp.asarray(s["image"]), grid=grid),
                    jnp.asarray(s["mask"]))
 
     for name, p, g in iter_predictions():

@@ -78,16 +78,20 @@ class OneLesionSegmentation:
         return len(self.image_paths)
 
     def __getitem__(self, idx: int):
-        img = _load_rgb(self.image_paths[idx]).astype(np.float32)
+        # images stay uint8 on the host (half the decode-thread work, 4× less
+        # H2D on the wire — the consumers promote on device); ``gray``'s luma
+        # collapse is the one host transform that needs floats
+        img = _load_rgb(self.image_paths[idx])
         mask = _load_mask(self.mask_paths[idx])
         if self.ben_transform:
-            img = ben_color_host(img.astype(np.uint8)).astype(np.float32)
+            img = ben_color_host(img)  # uint8 in, uint8 out (saturating)
             if img.shape[:2] != mask.shape:
                 import cv2
                 mask = cv2.resize(mask, (img.shape[1], img.shape[0]),
                                   interpolation=cv2.INTER_NEAREST)
         if self.gray:
-            g = img @ np.array([0.2989, 0.5870, 0.1140], np.float32)
+            g = img.astype(np.float32) @ np.array([0.2989, 0.5870, 0.1140],
+                                                  np.float32)
             img = np.repeat(g[..., None], 3, axis=-1)
         sample = {"image": img, "mask": mask,
                   "image_id": Path(self.image_paths[idx]).stem}
@@ -110,13 +114,14 @@ class TestSegmentation:
         return len(self.image_paths)
 
     def __getitem__(self, idx: int):
-        img = _load_rgb(self.image_paths[idx]).astype(np.float32)
+        img = _load_rgb(self.image_paths[idx])  # uint8 wire (see OneLesion)
         sample = {"image": img, "filename": Path(self.image_paths[idx]).name,
                   "ori_h": img.shape[0], "ori_w": img.shape[1]}
         if self.ben_transform:
-            sample["image"] = ben_color_host(img.astype(np.uint8)).astype(np.float32)
+            sample["image"] = ben_color_host(img)
         if self.gray:
-            g = sample["image"] @ np.array([0.2989, 0.5870, 0.1140], np.float32)
+            g = (sample["image"].astype(np.float32)
+                 @ np.array([0.2989, 0.5870, 0.1140], np.float32))
             sample["image"] = np.repeat(g[..., None], 3, axis=-1)
         if self.mask_paths is not None:
             sample["mask"] = _load_mask(self.mask_paths[idx])

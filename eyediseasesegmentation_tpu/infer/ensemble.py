@@ -132,7 +132,7 @@ def predict(config: Dict[str, Any], logdirs: Sequence, out_dir,
     pending: deque = deque()
     for batch in prefetch(batch_iterator(ds, batch_size, shuffle=False,
                                          workers=min(4, batch_size))):
-        imgs = jnp.asarray(batch["image"], jnp.float32)
+        imgs = jnp.asarray(batch["image"])  # uint8 wire; predictors cast in-jit
         if mean_fn is not None:
             mean_probs = mean_fn(imgs)
         else:

@@ -508,7 +508,7 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
                 f"test image) but {s['filename']} is "
                 f"{(s['ori_h'], s['ori_w'])}; mixed-size test directories "
                 "are not supported in one pass.")
-        probs = predict(jnp.asarray(s["image"], jnp.float32),
+        probs = predict(jnp.asarray(s["image"]),  # uint8 wire; cast in-jit
                         grid=jnp.asarray(grid))
         stats = eval_fn(probs[None], s["mask"][None].astype(np.uint8))
         pending.append((probs, stats, s["filename"]))

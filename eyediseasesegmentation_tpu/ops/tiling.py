@@ -38,6 +38,7 @@ def tiled_predict(
 
     Returns (H, W) float32 probabilities.
     """
+    image = image.astype(jnp.float32)  # accepts the uint8 wire format
     h, w = image.shape[0], image.shape[1]
     canvas = jnp.zeros((h, w), jnp.float32)
     weight = jnp.zeros((h, w), jnp.float32)
@@ -94,6 +95,7 @@ def tiled_predict_sharded(
 
     from ..parallel.mesh import DATA_AXIS
 
+    image = image.astype(jnp.float32)  # accepts the uint8 wire format
     n_dev = mesh.shape[DATA_AXIS]
     g = grid.shape[0]
     g_pad = -(-g // n_dev) * n_dev
