@@ -29,9 +29,10 @@ TMO=2400 run python tools/bench_minres.py
 # default-path number from step 3 is the control
 TMO=2400 run env EDS_BENCH_PALLAS_TAIL=pair_up python bench.py
 TMO=2400 run env EDS_BENCH_PALLAS_TAIL=pair python bench.py
-# pair_up halves the biggest decoder intermediate — batch 4 may now beat the
-# round-3 batch-3 optimum (more views amortizing dispatch)
+# pair_up halves the biggest decoder intermediate — batch 4/6 may now beat
+# the round-3 batch-3 optimum (more views amortizing dispatch)
 TMO=2400 run env EDS_BENCH_PALLAS_TAIL=pair_up EDS_BENCH_BATCH=4 python bench.py
+TMO=2400 run env EDS_BENCH_PALLAS_TAIL=pair_up EDS_BENCH_BATCH=6 python bench.py
 
 # 5. decoder roofline, round 2 (VERDICT item 8): per-node ms on the fast path
 TMO=2400 run python tools/profile_flagship.py --fast
