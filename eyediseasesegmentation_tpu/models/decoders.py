@@ -97,6 +97,12 @@ class DecoderBlock(nn.Module):
             self.attention_type, raw_gates=True, up_part0=True,
             dtype=self.dtype, name="attention1")([x] + skips)
         parts = [upsample2x_w(x) if up_in_kernel else upsample2x(x)] + skips
+        # Unify part dtypes to the module compute dtype: the previous pair
+        # node's fp32 gate epilogue (csum/hw) promotes its output, so x can
+        # arrive fp32 while skips are bf16 — the kernel's carried VMEM
+        # scratch is single-dtype, and the plain path's convs would cast to
+        # self.dtype here anyway.
+        parts = [p.astype(self.dtype) for p in parts]
         k1, s1, b1 = ConvBNReLU(self.out_channels, 3,
                                 drop_block_prob=self.drop_block_prob,
                                 mode="pallas_params", dtype=self.dtype,

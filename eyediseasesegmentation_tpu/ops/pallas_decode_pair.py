@@ -312,6 +312,9 @@ def scse_conv3x3_pair(
     th2 = th // 2
 
     dtype = parts[0].dtype
+    assert all(p.dtype == dtype for p in parts), (
+        "mixed part dtypes feed single-dtype VMEM scratch: "
+        f"{[str(p.dtype) for p in parts]}")
     wm1 = _build_wm(k1, groups1, g1, dtype)
     wm2 = _build_wm(k2, groups2, g2, dtype)
 
