@@ -55,7 +55,12 @@ def main():
     img_paths, mask_paths = get_datapath(Path(cfg["test_img_path"]),
                                          Path(cfg["test_mask_path"]),
                                          cfg.get("lesion_type", "EX"))
-    ds = TestSegmentation(img_paths, mask_paths, gray=cfg.get("gray", False))
+    ds = TestSegmentation(
+        img_paths, mask_paths, gray=cfg.get("gray", False),
+        # whole-image mode scores against the reference's GT geometry
+        # (dice.py rides the same compose + crop/resize-back as tta.py)
+        metric_roundtrip_scale=(None if args.tiled
+                                else int(cfg.get("scale_size", 1024))))
     first = ds[0]
     predictor = TTAPredictor(model, variables, cfg, tta=args.tta,
                              ori_hw=(first["ori_h"], first["ori_w"]),

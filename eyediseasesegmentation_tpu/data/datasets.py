@@ -100,15 +100,65 @@ class OneLesionSegmentation:
         return sample
 
 
+def reference_gt_roundtrip(mask01: np.ndarray, scale_size: int) -> np.ndarray:
+    """The reference's GT geometry for whole-image metric evaluation.
+
+    In the reference the test MASK rides the same albumentations compose as
+    the image — LongestMaxSize (masks interpolate NEAREST) + PadIfNeeded —
+    and the eval generator then center-crops the pad away and linear-resizes
+    back to the original H×W as uint8 (tta.py:115-121, lesion_dataset.py:
+    130-137). Pad and center-crop cancel exactly, so the net effect on the
+    GT is nearest-downscale to the LongestMaxSize shape followed by
+    cv2.INTER_LINEAR upscale back: AUC-PR and the threshold sweep are scored
+    against THIS quantized GT, not the pristine mask. Reproduced here (cv2
+    when available — bit-exact with the reference — else a half-pixel
+    numpy bilinear) so reported metrics satisfy the 1e-3 parity contract
+    (BASELINE.md)."""
+    h, w = mask01.shape[:2]
+    from ..ops.image import longest_max_size_shape
+    nh, nw = longest_max_size_shape(h, w, scale_size)
+    if (nh, nw) == (h, w):
+        return mask01
+    m = mask01.astype(np.uint8)
+    try:
+        import cv2
+        m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+        m = cv2.resize(m, (w, h), interpolation=cv2.INTER_LINEAR)
+        return m.astype(np.float32)
+    except ImportError:
+        def _grid(n_out, n_in):  # half-pixel source coordinates
+            return (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        yi = np.clip(np.round(_grid(nh, h)).astype(int), 0, h - 1)
+        xi = np.clip(np.round(_grid(nw, w)).astype(int), 0, w - 1)
+        m = m[yi][:, xi]  # INTER_NEAREST
+        ys, xs = _grid(h, nh), _grid(w, nw)
+        y0 = np.clip(np.floor(ys).astype(int), 0, nh - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, nw - 1)
+        y1, x1 = np.minimum(y0 + 1, nh - 1), np.minimum(x0 + 1, nw - 1)
+        fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+        fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+        mf = m.astype(np.float64)
+        out = ((1 - fy) * (1 - fx) * mf[y0][:, x0]
+               + (1 - fy) * fx * mf[y0][:, x1]
+               + fy * (1 - fx) * mf[y1][:, x0]
+               + fy * fx * mf[y1][:, x1])
+        return np.rint(out).astype(np.float32)
+
+
 @dataclasses.dataclass
 class TestSegmentation:
     """Test dataset (lesion_dataset.py:95-145): images (+ optional GT masks),
-    original sizes recorded for the resize-back step."""
+    original sizes recorded for the resize-back step.
+
+    ``metric_roundtrip_scale``: when set (the whole-image lesion eval path),
+    masks are passed through :func:`reference_gt_roundtrip` at this
+    scale_size so metrics score against the reference's GT geometry."""
 
     image_paths: Sequence[Path]
     mask_paths: Optional[Sequence[Path]] = None
     gray: bool = False
     ben_transform: bool = False
+    metric_roundtrip_scale: Optional[int] = None
 
     def __len__(self):
         return len(self.image_paths)
@@ -124,7 +174,11 @@ class TestSegmentation:
                  @ np.array([0.2989, 0.5870, 0.1140], np.float32))
             sample["image"] = np.repeat(g[..., None], 3, axis=-1)
         if self.mask_paths is not None:
-            sample["mask"] = _load_mask(self.mask_paths[idx])
+            mask = _load_mask(self.mask_paths[idx])
+            if self.metric_roundtrip_scale:
+                mask = reference_gt_roundtrip(mask,
+                                              self.metric_roundtrip_scale)
+            sample["mask"] = mask
         return sample
 
 

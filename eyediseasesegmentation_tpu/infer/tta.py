@@ -73,10 +73,16 @@ MULTISCALE_SCALES = (1, 2, 4)
 
 def load_model_for_inference(logdir, best: bool = True, dtype=jnp.bfloat16):
     """Rebuild the model from <logdir>/config.json with inference demotions and
-    load best/last checkpoint params (reference tta.py:62-87)."""
+    load best/last checkpoint params (reference tta.py:62-87).
+
+    ``inference_dtype`` in config.json overrides the bf16 default compute
+    dtype (e.g. "float32" for strict cross-framework metric parity — the
+    torch reference computes fp32 under its disabled-AMP eval path)."""
     logdir = Path(logdir)
     with open(logdir / "config.json") as f:
         config = json.load(f)
+    if config.get("inference_dtype"):
+        dtype = jnp.dtype(config["inference_dtype"])
     model = zoo.get_model(config["model_name"], dict(config.get("model_params") or {}),
                           training=False, dtype=dtype)
     ckpt_name = "best.ckpt" if best else "last.ckpt"
@@ -129,19 +135,23 @@ class TTAPredictor:
         self._predict_jit = jax.jit(self._predict)
 
     def _forward(self, images, variables=None):
+        """One forward -> fp32 LOGITS (B, H, W). The sigmoid is applied AFTER
+        the TTA merge: ttach's SegmentationTTAWrapper(merge_mode='mean')
+        merges raw model outputs and the reference sigmoids the merged map
+        (tta.py:92-99,113) — sigmoid(mean(logits)), not mean(sigmoid)."""
         out = self.model.apply(
             self.variables if variables is None else variables,
             images, train=False)
         if isinstance(out, tuple):
             out = out[0]
-        return jax.nn.sigmoid(out.astype(jnp.float32))[..., 0]
+        return out.astype(jnp.float32)[..., 0]
 
-    def _scaled_probs_tiled(self, imgs, s, variables=None):
+    def _scaled_logits_tiled(self, imgs, s, variables=None):
         """Scale-s (>1) multiscale leg without materializing the (B, sS, sS)
         activations: the virtually-upsampled image is processed as s² S-sized
         tiles inside one ``lax.scan`` (each tile sliced straight from the
         ORIGINAL image via ``scale_and_translate`` — bit-exact equal to
-        resize-then-slice), predictions pasted into a 1-channel canvas and
+        resize-then-slice), logits pasted into a 1-channel canvas and
         downscaled back. The monolithic path OOMs at scale_size 1024, scale 4
         (a 4096² forward); per-tile forwards == the whole-image forward only
         up to the model's receptive-field truncation at tile seams — the same
@@ -161,10 +171,14 @@ class TTAPredictor:
                             off[1].astype(jnp.int32))), None
 
         canvas, _ = jax.lax.scan(body, canvas, offs)
-        return jax.image.resize(canvas, (n, h, w), "bilinear")
+        return jax.image.resize(canvas, (n, h, w), "bilinear",
+                                antialias=False)
 
     def _tta_probs(self, imgs, variables=None):
-        """imgs (B, S, S, C) normalized -> mean TTA probs (B, S, S).
+        """imgs (B, S, S, C) normalized -> TTA-merged probs (B, S, S):
+        sigmoid of the mean of the inverse-view LOGITS (ttach merge_mode=
+        'mean' merges raw outputs; the reference sigmoids once after,
+        tta.py:113).
 
         ``variables``: optional explicit pytree overriding ``self.variables``
         (pure-function form — the device-axis ensemble maps over members)."""
@@ -175,15 +189,17 @@ class TTAPredictor:
                 if s == 1:
                     p = self._forward(imgs, variables)
                 elif s * max(h, w) > self.multiscale_max_res:
-                    p = self._scaled_probs_tiled(imgs, s, variables)
+                    p = self._scaled_logits_tiled(imgs, s, variables)
                 else:
-                    up = jax.image.resize(imgs, (n, h * s, w * s, c), "bilinear")
+                    up = jax.image.resize(imgs, (n, h * s, w * s, c),
+                                          "bilinear", antialias=False)
                     p = self._forward(up, variables)
-                    p = jax.image.resize(p, (n, h, w), "bilinear")
+                    p = jax.image.resize(p, (n, h, w), "bilinear",
+                                         antialias=False)
                 acc = acc + p
-            return acc / len(MULTISCALE_SCALES)
+            return jax.nn.sigmoid(acc / len(MULTISCALE_SCALES))
         if self.tta in ("five_crop", "ten_crop"):
-            return self._crop_tta(imgs, variables)
+            return jax.nn.sigmoid(self._crop_tta(imgs, variables))
         make_views, inverse, V = TTA_FAMILIES[self.tta]
         # Cast to the model's compute dtype BEFORE building the views: the
         # flip/rot90 family is pure permutation, so cast∘permute ≡
@@ -201,13 +217,14 @@ class TTAPredictor:
             from jax.sharding import NamedSharding, PartitionSpec as P
             flat = jax.lax.with_sharding_constraint(
                 flat, NamedSharding(self.mesh, P("data", None, None, None)))
-        probs = self._forward(flat, variables)
-        probs = inverse(probs.reshape(v, b, h, w)[..., None])[..., 0]
-        return jnp.mean(probs, axis=0)
+        logits = self._forward(flat, variables)
+        logits = inverse(logits.reshape(v, b, h, w)[..., None])[..., 0]
+        return jax.nn.sigmoid(jnp.mean(logits, axis=0))
 
     def _crop_tta(self, imgs, variables=None):
-        """five_crop: 4 corners + center at S/2, predictions pasted back and
-        count-normalized; ten_crop adds the hflip set."""
+        """five_crop: 4 corners + center at S/2, LOGITS pasted back and
+        count-normalized (sigmoid applied by the caller after the merge);
+        ten_crop adds the hflip set."""
         n, s = imgs.shape[0], imgs.shape[1]
         cs = s // 2
         corners = [(0, 0), (0, s - cs), (s - cs, 0), (s - cs, s - cs),
@@ -342,8 +359,14 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
     img_paths, mask_paths = get_datapath(Path(cfg["test_img_path"]),
                                          Path(cfg["test_mask_path"]),
                                          cfg.get("lesion_type", "EX"))
-    ds = TestSegmentation(img_paths, mask_paths, gray=cfg.get("gray", False),
-                          ben_transform=cfg.get("use_ben_transform", False))
+    ds = TestSegmentation(
+        img_paths, mask_paths, gray=cfg.get("gray", False),
+        ben_transform=cfg.get("use_ben_transform", False),
+        # lesion whole-image eval scores against the reference's GT geometry
+        # (nearest-down + linear-up roundtrip, see reference_gt_roundtrip);
+        # the vessel path (resize=False) uses masks as-is (tta_vessel.py:76)
+        metric_roundtrip_scale=(int(cfg.get("scale_size", 1024))
+                                if resize else None))
     first = ds[0]
     predictor = TTAPredictor(model, variables, cfg,
                              tta=args.get("tta", "d4"),

@@ -122,8 +122,12 @@ class DecoderBlock(nn.Module):
             gated=gated, up_part0=up_in_kernel,
             interpret=_jax.default_backend() != "tpu")
         hw = y2.shape[1] * y2.shape[2]
-        return Attention(self.attention_type, dtype=self.dtype,
-                         name="attention2")(y2, mean_override=csum / hw)
+        out = Attention(self.attention_type, dtype=self.dtype,
+                        name="attention2")(y2, mean_override=csum / hw)
+        # the fp32 csum gate promotes the gating multiply; keep the node's
+        # output map in compute dtype or every downstream full-res
+        # intermediate doubles its HBM footprint (OOM at 24 views/1024²)
+        return out.astype(self.dtype)
 
     def _fast_call(self, x, skip, train):
         """Same math as the normal path, emitted in s2d-packed layout: the

@@ -30,11 +30,20 @@ def longest_max_size_shape(h: int, w: int, max_size: int) -> Tuple[int, int]:
 
 
 def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "linear") -> jnp.ndarray:
-    """Bilinear resize of HWC (or HW) image. Static target shape."""
+    """Bilinear resize of HWC (or HW) image. Static target shape.
+
+    ``antialias=False`` on the linear path: cv2.INTER_LINEAR (what the whole
+    reference pipeline resizes with — albumentations LongestMaxSize,
+    GF.resize at tta.py:118-119) samples 2 neighbors per axis at half-pixel
+    centers with NO antialiasing prefilter even when downscaling; jax's
+    default antialias=True would low-pass first, shifting every model input
+    and resized-back prediction away from the reference's values (the 1e-3
+    AUC-PR parity contract, BASELINE.md). Upscales are unaffected."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
-    out = jax.image.resize(img, (out_hw[0], out_hw[1], img.shape[-1]), method=method)
+    out = jax.image.resize(img, (out_hw[0], out_hw[1], img.shape[-1]),
+                           method=method, antialias=False)
     return out[..., 0] if squeeze else out
 
 

@@ -67,7 +67,9 @@ def test_tta_predictor_equivariance(trained, tta):
 
 
 def test_d4_tta_is_view_mean(trained):
-    """The fused d4 pass must equal the explicit 8-view loop."""
+    """The fused d4 pass must equal the explicit 8-view loop: sigmoid of the
+    mean of the inverse-view LOGITS (ttach merge_mode='mean' merges raw
+    outputs and the reference sigmoids once after, tta.py:92-113)."""
     from eyediseasesegmentation_tpu.ops import image as I
     logdir, _ = trained
     model, variables, cfg = load_model_for_inference(logdir)
@@ -80,14 +82,16 @@ def test_d4_tta_is_view_mean(trained):
     outs = []
     for i, v in enumerate(views):
         p = np.asarray(pred_none.predict(v[None]))[0]
+        p = np.clip(p, 1e-7, 1 - 1e-7)
+        logit = np.log(p / (1 - p))  # recover the per-view logits
         # invert the view on the prediction
         k = i % 4
         flip = i >= 4
-        q = np.rot90(p, -k)
+        q = np.rot90(logit, -k)
         if flip:
             q = q[:, ::-1]
         outs.append(q)
-    manual = np.mean(outs, axis=0)
+    manual = 1.0 / (1.0 + np.exp(-np.mean(outs, axis=0)))
     np.testing.assert_allclose(fused[0], manual, atol=2e-2)
 
 
