@@ -305,13 +305,35 @@ def scse_conv3x3_pair(
     g1, groups1 = _tap_groups(cout)
     g2, groups2 = _tap_groups(cout)
 
+    dtype = parts[0].dtype
+
+    def _fits(th):
+        """Scoped-VMEM working-set estimate for row-tile ``th`` (double-
+        buffered IO blocks + carried scratch), calibrated against Mosaic's
+        accounting (reported 16.14 M for x_2_3 at th=4/W=512 where this raw
+        sum gives ~7.9 M → factor ≈2.05; we use 2.3 + a 15.2 M budget
+        against the 16 M scoped limit). The first on-chip 1024² run OOM'd
+        the stack by 0.9% at the widest node — shrink th instead of failing."""
+        bpe = jnp.dtype(dtype).itemsize
+        th2l = th // 2
+        blk = sum((th2l if (p == 0 and up_part0) else th) * W * ci
+                  for p, ci in enumerate(cin_list)) * bpe * 2
+        blk += th * W * cout * bpe * 2                      # y2 out block
+        scr = sum(((th2l if (p == 0 and up_part0) else th) + 1) * W * ci
+                  for p, ci in enumerate(cin_list)) * bpe   # prevs
+        scr += (2 * th + 1) * W * cout * bpe                # y1_prev + y1_cur
+        scr += 2 * th * W * cout * 4                        # acc1 + acc2 f32
+        wts = (len(groups1) * C + len(groups2) * cout) * g1 * cout * bpe
+        return (blk + scr + wts) * 2.3 < 15.2e6
+
     th = min(tile_rows, H)
-    while H % th != 0 or (up_part0 and th % 2):
-        th -= 1
+    step = 2 if up_part0 else 1
+    if up_part0 and th % 2:  # keep th even; stepping by 2 preserves it
+        th = max(2, th - 1)
+    while th > step and (H % th != 0 or not _fits(th)):
+        th -= step
     nchunks = H // th
     th2 = th // 2
-
-    dtype = parts[0].dtype
     assert all(p.dtype == dtype for p in parts), (
         "mixed part dtypes feed single-dtype VMEM scratch: "
         f"{[str(p.dtype) for p in parts]}")

@@ -32,7 +32,8 @@ def test_all_tta_families_produce_valid_probs(small_model, tta):
 
 
 def test_flip_tta_is_view_mean(small_model):
-    """flip (4 views) equals the explicit mean of the 4 aligned predictions."""
+    """flip (4 views) equals sigmoid of the explicit mean of the 4 aligned
+    LOGITS (ttach merges raw outputs; one sigmoid after, tta.py:92-113)."""
     from eyediseasesegmentation_tpu.ops import image as I
     model, variables = small_model
     cfg = {"dataset_name": "IDRiD", "gray": False, "scale_size": 32}
@@ -40,11 +41,16 @@ def test_flip_tta_is_view_mean(small_model):
     fused = np.asarray(TTAPredictor(model, variables, cfg, tta="flip",
                                     ori_hw=(32, 32)).predict(x))
     none = TTAPredictor(model, variables, cfg, tta="none", ori_hw=(32, 32))
-    v0 = np.asarray(none.predict(x))[0]
-    v1 = np.asarray(none.predict(x[:, :, ::-1]))[0][:, ::-1]      # hflip
-    v2 = np.asarray(none.predict(x[:, ::-1]))[0][::-1]            # vflip
-    v3 = np.asarray(none.predict(x[:, ::-1, ::-1]))[0][::-1, ::-1]
-    manual = np.mean([v0, v1, v2, v3], axis=0)
+
+    def logit(xv):
+        p = np.clip(np.asarray(none.predict(xv))[0], 1e-7, 1 - 1e-7)
+        return np.log(p / (1 - p))
+
+    v0 = logit(x)
+    v1 = logit(x[:, :, ::-1])[:, ::-1]      # hflip
+    v2 = logit(x[:, ::-1])[::-1]            # vflip
+    v3 = logit(x[:, ::-1, ::-1])[::-1, ::-1]
+    manual = 1.0 / (1.0 + np.exp(-np.mean([v0, v1, v2, v3], axis=0)))
     np.testing.assert_allclose(fused[0], manual, atol=2e-3)
 
 
