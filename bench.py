@@ -133,10 +133,19 @@ def _attempt():
         line = line.strip()
         if line.startswith("{") and '"metric"' in line:
             return line
-    tail = (proc.stderr or "").strip().splitlines()[-8:]
+    err = (proc.stderr or "").strip()
+    tail = err.splitlines()[-8:]
     print(f"bench attempt failed rc={proc.returncode}:", file=sys.stderr)
     for ln in tail:
         print("  " + ln, file=sys.stderr)
+    # deterministic failures (OOM, trace/type errors) won't heal with time —
+    # only tunnel flakes deserve the retry budget
+    for marker in ("RESOURCE_EXHAUSTED", "Ran out of memory",
+                   "ValueError", "TypeError", "Allocation type: global"):
+        if marker in err:
+            print(f"bench: deterministic failure ({marker}); not retrying",
+                  file=sys.stderr)
+            return False
     return None
 
 
@@ -146,6 +155,8 @@ def main():
 
     for i, backoff in enumerate(BACKOFF_S + (None,)):
         result = _attempt()
+        if result is False:  # deterministic failure — retries won't help
+            break
         if result is not None:
             print(result)
             return 0
