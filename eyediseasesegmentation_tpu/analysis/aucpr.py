@@ -66,18 +66,31 @@ def pr_curve_report(tp: np.ndarray, ap: np.ndarray, pp: np.ndarray,
 
 def roc_curve_report(tp: np.ndarray, ap: np.ndarray, tn: np.ndarray,
                      total_pixels: float, exp_name: str,
-                     figure_dir: Optional[Path] = None) -> Dict[str, float]:
-    """ROC counterpart for the vessel pipeline (reference aucpr.py:120-205)."""
+                     figure_dir: Optional[Path] = None,
+                     pp: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """ROC counterpart for the vessel pipeline (reference aucpr.py:120-205).
+
+    Reference-exact math: SN and SP are the 1e-7-smoothed ratios, FPR = 1-SP,
+    AUC is the trapezoid over (FPR, TPR), and the reference's single optimal
+    threshold is the **F-score argmax** over the smoothed (TPR, PPV) pair
+    (aucpr.py:185-187) — returned in BOTH the 'optimal_threshold' and the
+    'optimal_threshold_2' slot that downstream binarization consumes.  The
+    Youden-J threshold is kept as 'optimal_threshold_1' (an extension; the
+    reference returns one value)."""
     thresh = np.asarray(THRESH_LIST, dtype=float)
     an = total_pixels - ap
     sn = (tp + 1e-7) / (ap + 1e-7)
-    fpr = ((an - tn) + 1e-7) / (an + 1e-7)
+    sp = (tn + 1e-7) / (an + 1e-7)
+    fpr = 1.0 - sp
     aucroc = float(np.trapezoid(sn[::-1], fpr[::-1]))
-    youden = sn - fpr
-    t0 = float(thresh[np.argmax(youden)])
-    t1 = float(thresh[np.argmin(np.sqrt((1 - sn) ** 2 + fpr ** 2))])
-    gmean = np.sqrt(sn * (1 - fpr))
-    t2 = float(thresh[np.argmax(gmean)])
+    t1 = float(thresh[np.argmax(sn - fpr)])  # Youden J (extension)
+    if pp is not None:
+        ppv = (tp + 1e-7) / (pp + 1e-7)
+        f_score = (2 * sn * ppv) / (sn + ppv)
+        t2 = float(thresh[np.argmax(f_score)])
+    else:  # legacy callers without predicted-positive counts
+        t2 = float(thresh[np.argmax(np.sqrt(sn * sp))])
+    t0 = t2
     logger.info("OPTIMAL ROC THRESHOLD: %s / %s / %s (AUC-ROC %.5f)",
                 t0, t1, t2, aucroc)
     if figure_dir is not None:

@@ -431,7 +431,7 @@ def test_tta(logdir, config: Dict[str, Any], args: Dict[str, Any],
                                      figure_dir=figure_dir)
     else:
         thresholds = roc_curve_report(tp, ap_counts, tn, total_px, logdir.name,
-                                      figure_dir=figure_dir)
+                                      figure_dir=figure_dir, pp=pp)
     optim = thresholds["optimal_threshold_2"]  # F-max (tta.py:137)
     logger.info("optimal thresholds: %s", thresholds)
 
@@ -551,7 +551,7 @@ def tta_patches(logdir, config: Dict[str, Any], args: Dict[str, Any],
                                      figure_dir=figure_dir)
     else:
         thresholds = roc_curve_report(tp, apc, tn, total_px, logdir.name,
-                                      figure_dir=figure_dir)
+                                      figure_dir=figure_dir, pp=pp)
     optim = thresholds["optimal_threshold_2"]
     out_path = out_root / "tta" / cfg["lesion_type"] / logdir.name
     out_path.mkdir(parents=True, exist_ok=True)

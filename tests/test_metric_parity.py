@@ -232,3 +232,80 @@ def test_aucpr_reported_numbers_match_reference(model_pair, tmp_path,
         assert got["thresholds"][key] == pytest.approx(want_sweep[key],
                                                        abs=1e-6), (
             key, got["thresholds"], want_sweep)
+
+
+# ---------------------------------------------------------------------------
+# vessel (ROC) path — reference tta_vessel.py: no resize, AUC-ROC,
+# F-max optimal threshold (aucpr.py:120-205)
+# ---------------------------------------------------------------------------
+
+DRIVE_MEAN = np.array([0.49742976, 0.27066445, 0.16217253])
+DRIVE_STD = np.array([0.34794736, 0.18998094, 0.1084089])
+
+
+def test_aucroc_reported_numbers_match_reference(model_pair, tmp_path,
+                                                 monkeypatch):
+    from eyediseasesegmentation_tpu.data.synthetic import make_vessel_tree
+    from eyediseasesegmentation_tpu.infer.tta import test_tta
+
+    tf, model_params, variables = model_pair
+    logdir = _make_logdir(tmp_path, model_params, variables)
+
+    data = tmp_path / "data"
+    make_vessel_tree(data, n_train=1, n_test=4, size=(SCALE, SCALE))
+    mask_paths = sorted((data / "test" / "mask").glob("*.jpg"))
+    img_paths = sorted((data / "test" / "image").glob("*.jpg"))
+    Image.fromarray(np.zeros((SCALE, SCALE), np.uint8)).save(mask_paths[-1])
+
+    cfg = {"dataset_name": "DRIVE", "lesion_type": "Vessel_DRIVE",
+           "gray": False, "scale_size": SCALE,
+           "out_dir": str(tmp_path / "out"),
+           "test_img_path": str(data / "test" / "image"),
+           "test_mask_path": str(data / "test" / "mask")}
+    monkeypatch.chdir(tmp_path)
+    got = test_tta(logdir, cfg, {"best": "true", "tta": "d4",
+                                 "createprob": "false"}, batch_size=2,
+                   metric="roc", resize=False)
+
+    # torch reference math: no resize/pad (images pre-padded square,
+    # tta_vessel.py:76), D4 logit-mean + sigmoid, GT as-is
+    pairs = []
+    for ip, mp in zip(img_paths, mask_paths):
+        img = np.asarray(Image.open(ip).convert("RGB"), np.uint8)
+        mask = Image.open(mp).convert("L")
+        mask = np.asarray(mask.point(lambda v: 255 if v > 50 else 0, "1"),
+                          np.uint8)
+        x = ((img / 255.0 - DRIVE_MEAN) / DRIVE_STD).transpose(2, 0, 1)
+        pairs.append((_torch_d4_probs(tf, x), mask, Path(ip).name))
+
+    vals = [sklearn_metrics.roc_auc_score(gt.reshape(-1), pred.reshape(-1))
+            for pred, gt, _ in pairs if gt.sum() > 0]
+    want_mean = float(np.mean(vals))
+
+    ts = np.array(THRESH_LIST)
+    tp = np.zeros(len(ts)); ap = np.zeros(len(ts)); pp = np.zeros(len(ts))
+    tn = np.zeros(len(ts)); an = np.zeros(len(ts))
+    for pred, gt, _ in pairs:
+        for i, t in enumerate(ts):
+            arr = (pred > t).astype(np.uint8)
+            tpi = np.sum(gt & arr)
+            tp[i] += tpi
+            ap[i] += np.sum(gt)
+            ppi = np.sum(arr)
+            pp[i] += ppi
+            ani = gt.size - np.sum(gt)
+            an[i] += ani
+            tn[i] += ani - (ppi - tpi)
+    sn = (tp + 1e-7) / (ap + 1e-7)
+    sp = (tn + 1e-7) / (an + 1e-7)
+    ppv = (tp + 1e-7) / (pp + 1e-7)
+    fpr = 1 - sp
+    want_aucroc = float(sklearn_metrics.auc(fpr, sn))
+    f = (2 * sn * ppv) / (sn + ppv)
+    want_opt = THRESH_LIST[int(np.argmax(f))]
+
+    assert abs(got["mean_auc"] - want_mean) <= 1e-3, (got["mean_auc"],
+                                                      want_mean)
+    assert abs(got["thresholds"]["aucroc"] - want_aucroc) <= 1e-3
+    assert got["thresholds"]["optimal_threshold_2"] == pytest.approx(
+        want_opt, abs=1e-6), (got["thresholds"], want_opt)
