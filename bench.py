@@ -27,7 +27,8 @@ import numpy as np
 # Retry schedule for the parent wrapper: per-attempt wall clock cap and the
 # sleeps between attempts.  Total worst-case budget ~= 5*900 + sum(sleeps)
 # ~= 92 min; typical healthy run completes attempt 1 in ~6 min.
-ATTEMPT_TIMEOUT_S = 900
+ATTEMPT_TIMEOUT_S = 1500  # cache-cold remote compiles of 32-view programs
+                          # were observed to overrun the previous 900 s cap
 BACKOFF_S = (60, 120, 240, 300)
 
 
