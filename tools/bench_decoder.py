@@ -1,5 +1,7 @@
 """Time the flagship decoder as ONE graph on synthetic encoder features,
 fast vs slow, to find composition overheads the per-node profile misses."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 from functools import partial
 

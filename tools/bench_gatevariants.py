@@ -3,6 +3,8 @@
 E1 module blk.apply | E2 composed + real gate math | E3 conv1 scales=(gc+gs)
 full-rank | E4 conv1 scales=gs-only broadcast | E5 fused up2+gate chain.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 from functools import partial
 

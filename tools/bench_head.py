@@ -1,6 +1,8 @@
 """Segmentation-head formulations: conv 3x3 16ch->1 @1024^2 is pure
 bandwidth (2.4 GFLOP, 268 MB) but XLA pads Cin->128 and Cout->128 (~19 ms
 worst case). Compare packed-conv vs reduction-style rewrites."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -8,6 +8,8 @@ loses at the production shape.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_minres.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 from functools import partial
 

@@ -11,6 +11,8 @@ gate-reduce fusion.  The pair kernel moves that reduce INSIDE the kernel
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_pair.py
      [--micro-only | --e2e-only]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import sys
 import time
 from functools import partial

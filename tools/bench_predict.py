@@ -1,6 +1,8 @@
 """Compare true device time of the full TTA predict graph (in-jit loop)
 against bench.py-style per-call dispatch timing, to isolate host/transport
 overhead in the throughput harness."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -4,6 +4,8 @@ full-res (2848x4288) -> resize+pad+normalize -> d4 views | inverse views +
 mean + crop + resize-back. These cost bench-critical ms outside the 8-view
 forward.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -7,6 +7,8 @@ Compares, at the flagship's exact tail shapes (V=8 views):
   D. elementwise scSE-style gating unpacked @512^2x64 vs packed @256^2x256
   E. 16ch @1024^2 conv vs pack-4 conv @256^2x256
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 
 import time
 from functools import partial

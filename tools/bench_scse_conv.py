@@ -3,6 +3,8 @@ at the flagship tail-node shapes (x_1_3 / x_0_3 @512², 8 views).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_scse_conv.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import functools
 import time
 

@@ -1,5 +1,7 @@
 """Stem variants: plain 7x7/2 conv vs s2d rewrite, with/without the packing
 relayout, on TPU at the flagship shape."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -1,4 +1,6 @@
 """Stage-by-stage timing of a fast tail node (x_1_3 shape) on TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -4,6 +4,8 @@ Times the full compiled train step (on-device augmentation, bf16
 forward/backward, compound loss, MADGRAD/AdamW update) at the production
 shape — the reference trained UnetPlusPlusStar at 1024^2, batch 2, on GPUs.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import argparse
 import time
 

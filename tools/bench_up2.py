@@ -1,5 +1,7 @@
 """upsample2x variants at the x_1_3 shape: two banded einsums (current) vs
 one depthwise transposed conv (lhs_dilation=2, kernel [1,3,3,1]/4)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -17,6 +17,8 @@ the cout=64 tail at lower inflation:
 
 Run on the real TPU: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_wpack.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 
 import time
 from functools import partial

@@ -6,6 +6,8 @@ x_0_4 chain: measure the real f16 double-packed ops in isolation.
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_wpack2.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 
 import time
 

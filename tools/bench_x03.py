@@ -3,6 +3,8 @@
 x_0_3: x 64@256^2 + 4x 64@512^2 skips -> 32 (measured 26.7 ms vs ~7 floor)
 x_0_4: 32@512^2 -> 16@1024^2 phase_up  (measured 11.2 ms vs ~2 floor)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 
 import jax

@@ -3,6 +3,8 @@
 Same anti-hoisting/anti-DCE timer as profile_flagship.py: the carry is
 written into args[0] (must be consumed) and the full output reduced.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 from functools import partial
 

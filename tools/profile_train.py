@@ -4,6 +4,8 @@ Stages: on-device augmentation | forward+loss | forward+backward |
 optimizer update | full compiled step. Run:
 PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_train.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import argparse
 import time
 

@@ -1,4 +1,6 @@
 """Time the flagship fused 8-view forward @1024^2 on the TPU (fast vs slow)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
 import time
 from functools import partial
 
