@@ -8,10 +8,10 @@ loop is measured and subtracted.
 
 Usage: python tools/profile_flagship.py [--size 1024] [--inner 4] [--iters 6]
 """
+from __future__ import annotations
+
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct invocation
-
-from __future__ import annotations
 
 import argparse
 import time
