@@ -6,15 +6,21 @@ TPU re-design of the reference's albumentations policies
 static shapes, so augmentation vmaps over the batch and fuses into the compiled
 train step (no host-side augmentation in the hot loop).
 
-Stochastic gates use compute-and-select (`jnp.where`): under vmap each sample
-draws its own decisions, which is exactly albumentations' per-sample semantics.
+Stochastic gates are real branches (``lax.cond`` / ``lax.switch``): only the
+taken op executes at runtime, so a policy costs its EXPECTED op sum rather
+than the sum of every member (the earlier compute-and-select form always paid
+the full-res warp, all three OneOf members, and both flip branches — measured
+82 ms of a 502 ms train step @1024² bs2).  ``batch_train`` unrolls the small
+static batch as per-sample graphs instead of vmapping — vmap would lower the
+conds back to select-both-branches.  Per-sample keys and draw order are
+unchanged, so the outputs are bit-identical to the vmap/select form (pinned by
+tests/test_image_ops.py::test_batch_train_unroll_matches_vmap).
 Policy registry parity: normal / easy / easy_v2 / medium / advanced /
 advanced_vessel (reference src/data/__init__.py:4-14).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -24,14 +30,15 @@ from ..ops import image as I
 
 
 def _maybe(key, p: float, fn, img, mask):
-    """Apply fn with probability p (compute-and-select)."""
+    """Apply fn with probability p (real branch: fn runs only when taken)."""
     k_gate, k_fn = jax.random.split(key)
     apply = jax.random.uniform(k_gate) < p
-    out = fn(k_fn, img, mask)
-    new_img, new_mask = out if isinstance(out, tuple) else (out, mask)
-    img = jnp.where(apply, new_img, img)
-    mask = jnp.where(apply, new_mask, mask)
-    return img, mask
+
+    def taken(op):
+        out = fn(k_fn, op[0], op[1])
+        return out if isinstance(out, tuple) else (out, op[1])
+
+    return jax.lax.cond(apply, taken, lambda op: op, (img, mask))
 
 
 def _img_only(fn):
@@ -53,26 +60,33 @@ def _hflip(key, img, mask):
 def _rot90(key, img, mask):
     """RandomRotate90: k ~ uniform{0..3} (applied under an outer p-gate)."""
     k = jax.random.randint(key, (), 0, 4)
-    branches = [lambda x: x] + [functools.partial(I.rot90, k=i) for i in (1, 2, 3)]
-    return jax.lax.switch(k, branches, img), jax.lax.switch(k, branches, mask)
+
+    def branch(i):
+        return (lambda op: op) if i == 0 else (
+            lambda op: (I.rot90(op[0], k=i), I.rot90(op[1], k=i)))
+
+    return jax.lax.switch(k, [branch(i) for i in range(4)], (img, mask))
 
 
 def _one_of(key, fns, img, mask, p: float):
-    """albumentations OneOf: with prob p pick one member uniformly."""
+    """albumentations OneOf: with prob p pick one member uniformly.
+
+    Gated by ``lax.cond`` and picked by ``lax.switch`` so exactly ONE member
+    executes at runtime (the select form evaluated every member always)."""
     k_gate, k_pick, k_fn = jax.random.split(key, 3)
     apply = jax.random.uniform(k_gate) < p
     idx = jax.random.randint(k_pick, (), 0, len(fns))
 
-    def run(i):
-        out = fns[i](k_fn, img, mask)
-        return out if isinstance(out, tuple) else (out, mask)
+    def member(fn):
+        def br(op):
+            out = fn(k_fn, op[0], op[1])
+            return out if isinstance(out, tuple) else (out, op[1])
+        return br
 
-    outs = [run(i) for i in range(len(fns))]
-    new_img = jax.lax.switch(idx, [lambda o=o: o[0] for o in outs])
-    new_mask = jax.lax.switch(idx, [lambda o=o: o[1] for o in outs])
-    img = jnp.where(apply, new_img, img)
-    mask = jnp.where(apply, new_mask, mask)
-    return img, mask
+    def taken(op):
+        return jax.lax.switch(idx, [member(fn) for fn in fns], op)
+
+    return jax.lax.cond(apply, taken, lambda op: op, (img, mask))
 
 
 def _distortion_fns():
@@ -141,9 +155,19 @@ class BaseTransform:
         return img
 
     def batch_train(self, key, imgs, masks):
-        """vmap over the batch with per-sample keys."""
-        keys = jax.random.split(key, imgs.shape[0])
-        return jax.vmap(self.train)(keys, imgs, masks)
+        """Per-sample keys; the (small, static) batch unrolls as separate
+        per-sample graphs so the stochastic ``lax.cond`` gates stay REAL
+        branches — vmap would lower them to compute-both-and-select, paying
+        every policy member every step.  Bit-identical to the vmap form
+        (same keys, same draw order); falls back to vmap for large batches
+        where unrolled compile time would dominate."""
+        b = imgs.shape[0]
+        keys = jax.random.split(key, b)
+        if b > 16:
+            return jax.vmap(self.train)(keys, imgs, masks)
+        outs = [self.train(keys[i], imgs[i], masks[i]) for i in range(b)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
 
 
 class NormalTransform(BaseTransform):

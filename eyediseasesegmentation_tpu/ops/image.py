@@ -39,6 +39,8 @@ def resize(img: jnp.ndarray, out_hw: Tuple[int, int], method: str = "linear") ->
     default antialias=True would low-pass first, shifting every model input
     and resized-back prediction away from the reference's values (the 1e-3
     AUC-PR parity contract, BASELINE.md). Upscales are unaffected."""
+    if (img.shape[0], img.shape[1]) == tuple(out_hw):
+        return img  # static no-op (e.g. pre-resized train batches)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
@@ -51,6 +53,8 @@ def pad_to(img: jnp.ndarray, out_hw: Tuple[int, int], value: float = 0.0) -> jnp
     """Center-pad HWC image to ``out_hw`` (PadIfNeeded, border constant 0)."""
     h, w = img.shape[0], img.shape[1]
     ph, pw = out_hw[0] - h, out_hw[1] - w
+    if ph == 0 and pw == 0:
+        return img  # static no-op
     top, left = ph // 2, pw // 2
     widths = [(top, ph - top), (left, pw - left)] + [(0, 0)] * (img.ndim - 2)
     return jnp.pad(img, widths, constant_values=value)

@@ -262,13 +262,45 @@ class Trainer:
                     new = _with_replaced(new, s, old[s])
             return new
 
+        data_size = int(self.mesh.shape.get("data", 1))
+
+        def sharded_aug(aug_key, images, masks):
+            """Augment with REAL stochastic branches under data parallelism:
+            ``transform.batch_train`` unrolls per-sample ``lax.cond`` gates
+            (only the taken op executes — the vmap/select form paid every
+            policy member every step), but indexing a batch-sharded global
+            array per sample would wreck the dp layout. ``shard_map`` gives
+            each device its LOCAL slice: conds stay real branches, devices
+            augment their own samples in parallel, no collectives (aug is
+            per-sample)."""
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            keys = jax.random.split(aug_key, images.shape[0])
+
+            def local_aug(keys, im, m):
+                b = im.shape[0]
+                outs = [transform.train(keys[i], im[i], m[i])
+                        for i in range(b)]
+                return (jnp.stack([o[0] for o in outs]),
+                        jnp.stack([o[1] for o in outs]))
+
+            spec = P("data")
+            return shard_map(
+                local_aug, self.mesh,
+                in_specs=(spec, spec, spec), out_specs=(spec, spec))(
+                    keys, images, masks)
+
         def train_step(state: TrainState, images, masks, rng, lr):
             # batches may arrive uint8 (4× less H2D traffic; exact — decoded
             # pixels and binarized masks are integral): promote on device
             images = images.astype(jnp.float32)
             masks = masks.astype(jnp.float32)
             aug_key, drop_key = jax.random.split(jax.random.fold_in(rng, state.step))
-            images, masks = transform.batch_train(aug_key, images, masks)
+            if data_size > 1:
+                images, masks = sharded_aug(aug_key, images, masks)
+            else:
+                images, masks = transform.batch_train(aug_key, images, masks)
             grad_fn = jax.value_and_grad(
                 lambda p: loss_and_metrics(p, state.batch_stats, images, masks,
                                            drop_key, True),

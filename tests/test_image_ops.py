@@ -118,3 +118,26 @@ def test_make_grid_reference_semantics():
     for x1, x2, y1, y2 in g:
         cover[x1:x2, y1:y2] = True
     assert cover.all()
+
+
+@pytest.mark.parametrize("policy", ["normal", "easy", "easy_v2", "medium",
+                                    "advanced", "advanced_vessel"])
+def test_batch_train_unroll_matches_vmap(policy, rng):
+    """batch_train's unrolled per-sample graphs (real lax.cond gates — only
+    the taken op executes) must match the vmap/select form it
+    replaced: same per-sample keys, same draw order, same values."""
+    from eyediseasesegmentation_tpu.data.transforms import get_transform
+
+    tr = get_transform(policy)(image_size=32)
+    imgs = jnp.asarray(rng.rand(3, 41, 57, 3).astype(np.float32) * 255)
+    masks = jnp.asarray((rng.rand(3, 41, 57) < 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    im_u, m_u = jax.jit(tr.batch_train)(key, imgs, masks)
+    keys = jax.random.split(key, 3)
+    im_v, m_v = jax.jit(jax.vmap(tr.train))(keys, imgs, masks)
+    # same ops, same keys, same draws; XLA fuses cond branch bodies
+    # differently than the inlined select form, so fp rounding can differ
+    # in the last ulps (observed max 1.5e-5 on the 0..255 scale)
+    np.testing.assert_allclose(np.asarray(im_u), np.asarray(im_v), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(m_u), np.asarray(m_v))
