@@ -57,6 +57,12 @@ def run_measurement():
         "decoder_attention_type": "scse",
         "base_dim": scale_size // 32,
         "classes": 1,
+        # measured eval optimum (tools/bench_minres.py on-chip sweep:
+        # 256→190.8, 512→192.9, 384→193.1, 768→229.4 ms/8-view forward):
+        # pulling the 256-res tail nodes into the packed layouts wins ~1.1%.
+        # Exactness unaffected — fast_min_res only selects which nodes use
+        # the packed (H2/s2d) rewrites (pinned by tests/test_packed_tail.py)
+        "fast_min_res": 256,
     }
     if os.environ.get("EDS_BENCH_PALLAS_TAIL"):
         model_params["pallas_tail"] = os.environ["EDS_BENCH_PALLAS_TAIL"]
