@@ -44,10 +44,11 @@ def run_measurement():
     batch = 3  # 24 fused views: the measured throughput optimum (4.87 vs
     # 4.76 img/s at batch 2 or 4) — amortizes per-dispatch transport overhead
     # while still fitting HBM with the packed tail
-    # 12 iters: the measurement window's one forced-sync RTT (~29 ms) plus
-    # dispatch overheads are ~0.8% of a 6-iter window; doubling the window
-    # halves that share — steadier steady-state number, +5 s wall
-    warmup, iters = 2, 12
+    # 16 iters: the measurement window's one forced-sync RTT (~29 ms) plus
+    # dispatch overheads are ~0.8% of the original 6-iter window; a longer
+    # window shrinks that share — steadier steady-state number, +7 s wall
+    # (measured: 4.9479 @12 iters/minres512; 5.0173 @12 iters/minres256)
+    warmup, iters = 2, 16
 
     # experiment knobs (A/B sweeps from tools/tpu_queue.sh; defaults above
     # are what the driver measures)
